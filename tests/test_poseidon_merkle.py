@@ -1,0 +1,93 @@
+"""Poseidon permutation / sponge / Merkle-cap tests."""
+
+import hashlib
+
+import numpy as np
+
+from vectorx_tpu import merkle
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.fri.transcript import Challenger
+from vectorx_tpu.hash import poseidon, poseidon_py
+
+P = gl.P
+RNG = np.random.default_rng(2)
+
+
+def rand(n):
+    return RNG.integers(0, P, size=n, dtype=np.uint64)
+
+
+def test_permute_matches_scalar_oracle():
+    states = rand(3 * 12).reshape(3, 12)
+    lo, hi = gl.from_u64(states)
+    out = gl.to_u64(*poseidon.permute(lo, hi))
+    for i in range(3):
+        exp = poseidon_py.permute([int(x) for x in states[i]])
+        assert [int(x) for x in out[i]] == exp
+
+
+def test_permutation_is_bijective_on_samples():
+    a = rand(12).reshape(1, 12)
+    b = a.copy()
+    b[0, 0] = (b[0, 0] + 1) % P
+    oa = gl.to_u64(*poseidon.permute(*gl.from_u64(a)))
+    ob = gl.to_u64(*poseidon.permute(*gl.from_u64(b)))
+    assert not np.array_equal(oa, ob)
+
+
+def test_hash_no_pad_matches_scalar():
+    for k in (1, 4, 8, 9, 20):
+        data = rand(2 * k).reshape(2, k)
+        out = gl.to_u64(*poseidon.hash_no_pad(*gl.from_u64(data)))
+        for i in range(2):
+            exp = poseidon_py.hash_no_pad([int(x) for x in data[i]])
+            assert [int(x) for x in out[i]] == exp, f"k={k}"
+
+
+def test_merkle_tree_roundtrip():
+    n, leaf_len = 32, 6
+    leaves = rand(n * leaf_len).reshape(n, leaf_len)
+    for cap_height in (0, 2):
+        tree = merkle.build_tree(*gl.from_u64(leaves), cap_height=cap_height)
+        cap = tree.cap_ints()
+        assert len(cap) == 1 << cap_height
+        for idx in (0, 5, n - 1):
+            path = tree.open(idx)
+            leaf = [int(x) for x in leaves[idx]]
+            assert merkle.verify_path(leaf, idx, path, cap)
+            bad = list(leaf)
+            bad[0] = (bad[0] + 1) % P
+            assert not merkle.verify_path(bad, idx, path, cap)
+
+
+def test_short_leaf_noop_hash():
+    n = 8
+    leaves = rand(n * 3).reshape(n, 3)
+    tree = merkle.build_tree(*gl.from_u64(leaves), cap_height=0)
+    lo, hi = tree.layers[0]
+    got = gl.to_u64(lo, hi)
+    assert np.array_equal(got[:, :3], leaves % np.uint64(P))
+    assert np.all(got[:, 3] == 0)
+
+
+def test_sha256_merkle_root_matches_reference_shape():
+    # 3 leaves -> pad to 4 with zero leaves; nodes = sha256 pairs.
+    leaves = [bytes([i]) * 32 for i in range(3)]
+    pad = b"\x00" * 32
+    n0 = hashlib.sha256(leaves[0] + leaves[1]).digest()
+    n1 = hashlib.sha256(leaves[2] + pad).digest()
+    exp = hashlib.sha256(n0 + n1).digest()
+    assert merkle.sha256_merkle_root(leaves) == exp
+    assert merkle.sha256_merkle_root([]) == b""
+
+
+def test_challenger_deterministic_and_sensitive():
+    c1, c2, c3 = Challenger(), Challenger(), Challenger()
+    obs = [int(x) for x in rand(20)]
+    c1.observe_many(obs)
+    c2.observe_many(obs)
+    c3.observe_many(obs[:-1] + [(obs[-1] + 1) % P])
+    a, b, c = c1.get_n_challenges(4), c2.get_n_challenges(4), c3.get_n_challenges(4)
+    assert a == b
+    assert a != c
+    assert all(0 <= x < P for x in a)

@@ -1,0 +1,219 @@
+"""Poseidon permutation over Goldilocks — width 12, x^7 S-box, 8 full + 22
+partial rounds — plus the sponge / two-to-one compression used for FRI Merkle
+caps and the Fiat-Shamir transcript.
+
+Role in the stack: this is the TPU-native equivalent of plonky2's
+`PoseidonHash` (the FRI Merkle-cap and transcript hash of the reference
+proving stack — SURVEY.md §2 E1; `DefaultParameters` used in every reference
+test, /root/reference/circuits/header_range.rs:96).
+
+Parameters: the round-constant schedule and MDS matrix are generated with the
+official Poseidon reference procedure (Grain LFSR stream for round constants,
+Cauchy matrix for the MDS) for (GF(p), x^7, t=12, R_F=8, R_P=22).  plonky2
+ships its own hard-coded table which is not derivable offline; the sponge
+*structure* (rate 8, capacity 4, overwrite-mode absorb, 4-element digests,
+two-to-one compression layout) matches plonky2 exactly, and
+`load_round_constants` lets a deployment drop in plonky2's table to get
+bit-exact digests when that table is available.  All proofs in this repo are
+self-consistently verifiable either way.
+
+State layout: ``(lo, hi)`` uint32 arrays of shape (..., 12); the batch
+dimensions vectorize over the VPU (hash many leaves / transcript lanes at
+once).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from vectorx_tpu.field import goldilocks as gl
+
+P = gl.P
+
+WIDTH = 12
+RATE = 8
+CAPACITY = 4
+DIGEST = 4
+FULL_ROUNDS = 8
+PARTIAL_ROUNDS = 22
+ALPHA = 7
+N_ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
+
+
+# ---------------------------------------------------------------------------
+# Parameter generation (Grain LFSR + Cauchy MDS), per the Poseidon reference.
+# ---------------------------------------------------------------------------
+
+def _grain_bits(n_bits: int, t: int, r_f: int, r_p: int):
+    """The Grain LFSR bit stream from the official generate_params procedure."""
+    state = []
+    for value, width in ((1, 2), (0, 4), (n_bits, 12), (t, 12), (r_f, 10), (r_p, 10)):
+        state.extend(int(b) for b in bin(value)[2:].zfill(width))
+    state.extend([1] * 30)
+    assert len(state) == 80
+
+    def update():
+        new = state[62] ^ state[51] ^ state[38] ^ state[23] ^ state[13] ^ state[0]
+        state.pop(0)
+        state.append(new)
+        return new
+
+    for _ in range(160):
+        update()
+
+    def next_bit():
+        # evaluate bits in pairs: emit the second iff the first is 1
+        while True:
+            if update() == 1:
+                return update()
+            update()
+
+    while True:
+        yield next_bit()
+
+
+@functools.lru_cache(maxsize=None)
+def _generated_round_constants() -> tuple:
+    gen = _grain_bits(64, WIDTH, FULL_ROUNDS, PARTIAL_ROUNDS)
+    consts = []
+    while len(consts) < WIDTH * N_ROUNDS:
+        v = 0
+        for _ in range(64):
+            v = (v << 1) | next(gen)
+        if v < P:
+            consts.append(v)
+    return tuple(consts)
+
+
+@functools.lru_cache(maxsize=None)
+def _generated_mds() -> tuple:
+    """Cauchy MDS: M[i][j] = 1 / (x_i + y_j), x_i = i, y_j = t + j."""
+    rows = []
+    for i in range(WIDTH):
+        row = []
+        for j in range(WIDTH):
+            row.append(pow((i + (WIDTH + j)) % P, P - 2, P))
+        rows.append(tuple(row))
+    return tuple(rows)
+
+
+_OVERRIDE = {"rc": None, "mds": None}
+
+
+def load_round_constants(path: str) -> None:
+    """Load an external parameter table (e.g. plonky2's) from JSON:
+    {"round_constants": [360 ints], "mds": [[12x12 ints]]}.
+    """
+    with open(path) as f:
+        data = json.load(f)
+    rc = tuple(int(x) % P for x in data["round_constants"])
+    assert len(rc) == WIDTH * N_ROUNDS
+    mds = tuple(tuple(int(x) % P for x in row) for row in data["mds"])
+    assert len(mds) == WIDTH and all(len(r) == WIDTH for r in mds)
+    _OVERRIDE["rc"] = rc
+    _OVERRIDE["mds"] = mds
+    _params.cache_clear()
+
+
+@functools.lru_cache(maxsize=None)
+def _params():
+    rc = _OVERRIDE["rc"] or _generated_round_constants()
+    mds = _OVERRIDE["mds"] or _generated_mds()
+    rc_arr = np.array(rc, dtype=np.uint64).reshape(N_ROUNDS, WIDTH)
+    mds_arr = np.array(mds, dtype=np.uint64)
+    def split(a):
+        return (jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
+    return split(rc_arr), split(mds_arr)
+
+
+# ---------------------------------------------------------------------------
+# Permutation
+# ---------------------------------------------------------------------------
+
+def _sbox(lo, hi):
+    """x^7 = x^4 * x^2 * x  (3 squarings-equivalent, 4 muls)."""
+    s2l, s2h = gl.sqr(lo, hi)
+    s4l, s4h = gl.sqr(s2l, s2h)
+    s6l, s6h = gl.mul(s2l, s2h, s4l, s4h)
+    return gl.mul(s6l, s6h, lo, hi)
+
+
+def _mds_layer(lo, hi, mds):
+    """Dense 12x12 field matvec: out_i = sum_j M[i][j] * s_j."""
+    (ml, mh) = mds
+    # lo/hi: (..., 12) -> products (..., 12(out), 12(in))
+    pl, ph = gl.mul(lo[..., None, :], hi[..., None, :], ml, mh)
+    # tree-reduce sum along the last axis
+    while pl.shape[-1] > 1:
+        half = pl.shape[-1] // 2
+        al, ah = pl[..., :half], ph[..., :half]
+        bl, bh = pl[..., half:half * 2], ph[..., half:half * 2]
+        sl, sh = gl.add(al, ah, bl, bh)
+        if pl.shape[-1] % 2:
+            sl = jnp.concatenate([sl, pl[..., -1:]], axis=-1)
+            sh = jnp.concatenate([sh, ph[..., -1:]], axis=-1)
+        pl, ph = sl, sh
+    return pl[..., 0], ph[..., 0]
+
+
+def permute(lo, hi):
+    """Poseidon permutation on state (..., 12)."""
+    (rcl, rch), mds = _params()
+    half = FULL_ROUNDS // 2
+    r = 0
+    for _ in range(half):
+        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
+        lo, hi = _sbox(lo, hi)
+        lo, hi = _mds_layer(lo, hi, mds)
+        r += 1
+    for _ in range(PARTIAL_ROUNDS):
+        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
+        s0l, s0h = _sbox(lo[..., :1], hi[..., :1])
+        lo = jnp.concatenate([s0l, lo[..., 1:]], axis=-1)
+        hi = jnp.concatenate([s0h, hi[..., 1:]], axis=-1)
+        lo, hi = _mds_layer(lo, hi, mds)
+        r += 1
+    for _ in range(half):
+        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
+        lo, hi = _sbox(lo, hi)
+        lo, hi = _mds_layer(lo, hi, mds)
+        r += 1
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Sponge / digests (plonky2 layout: rate 8, capacity 4, 4-element digest)
+# ---------------------------------------------------------------------------
+
+def hash_no_pad(lo, hi):
+    """Hash (..., k) field elements to a (..., 4) digest.
+
+    Overwrite-mode sponge: absorb 8 lanes per permutation (no padding),
+    squeeze the first 4 lanes — the layout of plonky2's `hash_n_to_m_no_pad`.
+    """
+    batch = lo.shape[:-1]
+    k = lo.shape[-1]
+    sl = jnp.zeros((*batch, WIDTH), jnp.uint32)
+    sh = jnp.zeros((*batch, WIDTH), jnp.uint32)
+    for start in range(0, k, RATE):
+        chunk = min(RATE, k - start)
+        sl = jnp.concatenate([lo[..., start:start + chunk], sl[..., chunk:]], axis=-1)
+        sh = jnp.concatenate([hi[..., start:start + chunk], sh[..., chunk:]], axis=-1)
+        sl, sh = permute(sl, sh)
+    return sl[..., :DIGEST], sh[..., :DIGEST]
+
+
+def two_to_one(left, right):
+    """Compress two (..., 4) digests into one — the Merkle interior node op."""
+    (ll, lh), (rl, rh) = left, right
+    batch = ll.shape[:-1]
+    zl = jnp.zeros((*batch, WIDTH - 2 * DIGEST), jnp.uint32)
+    sl = jnp.concatenate([ll, rl, zl], axis=-1)
+    sh = jnp.concatenate([lh, rh, zl], axis=-1)
+    sl, sh = permute(sl, sh)
+    return sl[..., :DIGEST], sh[..., :DIGEST]

@@ -1,0 +1,121 @@
+"""Merkle trees.
+
+Two flavors, matching the two commitment schemes in the reference stack:
+
+* `PoseidonMerkleTree` — field-element digests with a configurable cap
+  (plonky2 `MerkleCap` layout: stop hashing `cap_height` levels from the
+  root and publish all 2^cap_height nodes).  Used by the FRI polynomial
+  commitments (SURVEY.md §2 E1).  Layer hashing is fully batched: one
+  vectorized Poseidon call per level.
+
+* `sha256_merkle_root` — the byte-level simple Merkle root used for the
+  on-chain data/state root commitments
+  (/root/reference/circuits/input/mod.rs:464-489: leaves are NOT hashed,
+  zero-padded to a power of two, interior = SHA256(left || right)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.hash import poseidon
+
+
+@dataclass
+class PoseidonMerkleTree:
+    """digest layers, leaf-first; each layer is ((n,4) lo, (n,4) hi)."""
+
+    layers: list
+    cap_height: int
+
+    @property
+    def cap(self):
+        return self.layers[-1]
+
+    def cap_ints(self) -> list[list[int]]:
+        lo, hi = self.cap
+        arr = gl.to_u64(lo, hi)
+        return [[int(x) for x in row] for row in arr]
+
+    def open(self, index: int):
+        """Sibling digests from leaf level up to (but excluding) the cap."""
+        path = []
+        idx = index
+        for (lo, hi) in self.layers[:-1]:
+            sib = idx ^ 1
+            path.append([int(x) for x in gl.to_u64(lo[sib], hi[sib])])
+            idx >>= 1
+        return path
+
+
+def hash_leaves(leaves_lo, leaves_hi):
+    """(n, leaf_len) -> (n, 4) digests with plonky2's hash_or_noop rule:
+    leaves of <= 4 elements are zero-padded and used as digests directly."""
+    n, leaf_len = leaves_lo.shape
+    if leaf_len <= poseidon.DIGEST:
+        pad = poseidon.DIGEST - leaf_len
+        lo = jnp.pad(leaves_lo, ((0, 0), (0, pad)))
+        hi = jnp.pad(leaves_hi, ((0, 0), (0, pad)))
+        return lo, hi
+    return poseidon.hash_no_pad(leaves_lo, leaves_hi)
+
+
+def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
+    n = leaves_lo.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    assert (1 << cap_height) <= n
+    lo, hi = hash_leaves(leaves_lo, leaves_hi)
+    layers = [(lo, hi)]
+    while lo.shape[0] > (1 << cap_height):
+        left = (lo[0::2], hi[0::2])
+        right = (lo[1::2], hi[1::2])
+        lo, hi = poseidon.two_to_one(left, right)
+        layers.append((lo, hi))
+    return PoseidonMerkleTree(layers=layers, cap_height=cap_height)
+
+
+def verify_path(leaf_ints: list[int], index: int, path: list[list[int]],
+                cap_ints: list[list[int]]) -> bool:
+    """Host-side verification of a Merkle opening against a cap."""
+    from vectorx_tpu.hash import poseidon_py
+
+    if len(leaf_ints) <= poseidon.DIGEST:
+        digest = list(leaf_ints) + [0] * (poseidon.DIGEST - len(leaf_ints))
+    else:
+        digest = poseidon_py.hash_no_pad(leaf_ints)
+    idx = index
+    for sib in path:
+        if idx & 1:
+            digest = poseidon_py.two_to_one(sib, digest)
+        else:
+            digest = poseidon_py.two_to_one(digest, sib)
+        idx >>= 1
+    return digest == list(cap_ints[idx])
+
+
+# ---------------------------------------------------------------------------
+# SHA-256 simple Merkle (byte-level, reference-compatible)
+# ---------------------------------------------------------------------------
+
+def sha256_merkle_root(leaves: list[bytes]) -> bytes:
+    """Simple Merkle root over 32-byte leaves, bit-exact with the reference
+    `RpcDataFetcher::get_merkle_root` (input/mod.rs:464-489): leaves are not
+    hashed, zero-extended to the next power of two, interior nodes are
+    SHA256(left || right).  Returns b"" for no leaves."""
+    if not leaves:
+        return b""
+    nodes = list(leaves)
+    while len(nodes) & (len(nodes) - 1):
+        nodes.append(b"\x00" * 32)
+    while len(nodes) > 1:
+        nodes = [
+            hashlib.sha256(nodes[2 * i] + nodes[2 * i + 1]).digest()
+            for i in range(len(nodes) // 2)
+        ]
+    return nodes[0]
