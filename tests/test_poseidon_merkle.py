@@ -64,8 +64,7 @@ def test_short_leaf_noop_hash():
     n = 8
     leaves = rand(n * 3).reshape(n, 3)
     tree = merkle.build_tree(*gl.from_u64(leaves), cap_height=0)
-    lo, hi = tree.layers[0]
-    got = gl.to_u64(lo, hi)
+    got = tree.layers[0]  # host uint64 (n, 4)
     assert np.array_equal(got[:, :3], leaves % np.uint64(P))
     assert np.all(got[:, 3] == 0)
 

@@ -1,0 +1,48 @@
+"""End-to-end STARK prove + verify on the Fibonacci AIR.
+
+This is the `dummy_rotate`-scale tiny-circuit milestone from SURVEY.md §7
+("minimum end-to-end slice"): trace → NTT/LDE → Poseidon Merkle → quotient →
+DEEP → FRI, verified by the host-side verifier.
+"""
+
+import numpy as np
+import pytest
+
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.fri.fri import FriConfig
+from vectorx_tpu.stark import FibonacciAir, StarkConfig, prove, verify
+
+CFG = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=1, num_queries=12,
+                                final_poly_len=4, pow_bits=0))
+
+
+def test_fibonacci_roundtrip():
+    air = FibonacciAir(log_n=5)
+    trace = air.build_trace()
+    proof = prove(air, trace, CFG)
+    assert verify(air, proof, CFG)
+
+
+def test_rejects_wrong_public_input():
+    air = FibonacciAir(log_n=5)
+    proof = prove(air, air.build_trace(), CFG)
+    bad_air = FibonacciAir(log_n=5)
+    bad_air.final = (bad_air.final + 1) % gl.P
+    assert not verify(bad_air, proof, CFG)
+
+
+def test_rejects_invalid_trace():
+    air = FibonacciAir(log_n=4)
+    trace = air.build_trace()
+    trace[1, 7] = (trace[1, 7] + 1) % gl.P  # break the recurrence mid-trace
+    # the prover's own divisibility check must fire
+    with pytest.raises(AssertionError):
+        prove(air, trace, CFG)
+
+
+def test_rejects_tampered_opening():
+    air = FibonacciAir(log_n=4)
+    proof = prove(air, air.build_trace(), CFG)
+    a, b = proof.trace_at_zeta[0]
+    proof.trace_at_zeta[0] = ((a + 1) % gl.P, b)
+    assert not verify(air, proof, CFG)

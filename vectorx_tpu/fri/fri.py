@@ -1,0 +1,282 @@
+"""FRI low-degree proofs over the Goldilocks quadratic extension.
+
+TPU-native equivalent of the reference stack's FRI commit/fold/query pipeline
+(plonky2 — SURVEY.md §2 E1, §7 layer 4).  The prover's fold layers are fully
+batched device computations (one vectorized extension-field fold + one
+batched Poseidon Merkle build per layer); the verifier is host-side scalar
+math (queries × layers is tiny).
+
+Protocol (arity-2 folds):
+* codeword = evaluations of a degree < n polynomial on the coset g·K,
+  |K| = n << rate_bits, natural order (position i ↔ g·w^i).
+* Commit: Merkle-cap tree over pair-leaves (v[i], v[i + N/2]) — the two
+  points that fold together (x and −x).
+* Fold with challenge β:  v'[i] = (v[i]+v[i+N/2])/2 + β·(v[i]−v[i+N/2])/(2·x_i),
+  the evaluation of f_e + β·f_o on the squared domain g²·K².
+* Stop at `final_poly_len` coefficients, sent in the clear.
+* Queries: indices derived from the transcript; each round opens every fold
+  layer and checks fold consistency down to the final polynomial.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorx_tpu import merkle
+from vectorx_tpu.field import ext_py
+from vectorx_tpu.field import extension as ge
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.fri.transcript import Challenger
+from vectorx_tpu.ntt import coset_intt, power_table
+from vectorx_tpu.ntt.ntt import _root_of_unity
+
+P = gl.P
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    rate_bits: int = 3
+    cap_height: int = 1
+    num_queries: int = 28
+    final_poly_len: int = 8  # coefficients of the last polynomial
+    pow_bits: int = 0
+
+
+@dataclass
+class FriQueryStep:
+    """Opening of one fold layer at one query: the sibling pair + path."""
+
+    pair: list  # [4 ints] = (c0,c1) at i and i+N/2
+    path: list
+
+
+@dataclass
+class FriQueryRound:
+    steps: list  # list[FriQueryStep], one per fold layer
+
+
+@dataclass
+class FriProof:
+    caps: list           # per fold layer: list of digests (each 4 ints)
+    final_coeffs: list   # list of (c0, c1) int pairs
+    pow_witness: int
+    query_rounds: list = field(default_factory=list)
+
+
+def _pair_leaves(c):
+    """Extension codeword (4 arrays of shape (N,)) -> (N/2, 4) leaf arrays."""
+    c0l, c0h, c1l, c1h = c
+    n = c0l.shape[0]
+    h = n // 2
+    lo = jnp.stack([c0l[:h], c1l[:h], c0l[h:], c1l[h:]], axis=1)
+    hi = jnp.stack([c0h[:h], c1h[:h], c0h[h:], c1h[h:]], axis=1)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _fold(c, beta, log_n: int, shift: int):
+    """One arity-2 fold on device.  Returns the halved codeword."""
+    c0l, c0h, c1l, c1h = c
+    n = c0l.shape[0]
+    h = n // 2
+    a = (c0l[:h], c0h[:h], c1l[:h], c1h[:h])
+    b = (c0l[h:], c0h[h:], c1l[h:], c1h[h:])
+    s = ge.add(a, b)                      # f(x) + f(-x)
+    d = ge.sub(a, b)                      # f(x) - f(-x)
+    # 1 / (2 x_i) = inv(2·shift) · w^{-i}
+    w_inv = pow(_root_of_unity(log_n, inverse=False), P - 2, P)
+    til, tih = power_table(w_inv, h)
+    inv2s = pow(2 * shift, P - 2, P)
+    xl, xh = gl.mul(jnp.asarray(til), jnp.asarray(tih),
+                    jnp.uint32(inv2s & 0xFFFFFFFF), jnp.uint32(inv2s >> 32))
+    fo = ge.mul_base(d, xl, xh)           # f_o(x^2) / ... = (f(x)-f(-x))/(2x)
+    t = ge.mul(fo, tuple(jnp.broadcast_to(x, fo[0].shape) for x in beta))
+    half = pow(2, P - 2, P)
+    fe = ge.mul_base(s, jnp.uint32(half & 0xFFFFFFFF), jnp.uint32(half >> 32))
+    return ge.add(fe, t)
+
+
+def fri_prove(codeword, log_len: int, shift: int, config: FriConfig,
+              challenger: Challenger):
+    """Prove low-degree of an extension codeword of length 2^log_len on the
+    coset shift·K.  Returns (FriProof without query rounds, fold layer trees,
+    fold codewords) — the caller assembles query rounds after deriving
+    indices (it may need to bundle openings of its own commitment trees).
+    """
+    layers = []      # list[PoseidonMerkleTree]
+    codewords = []   # host (c0, c1) uint64 arrays per layer (including input)
+    c = codeword
+    n = 1 << log_len
+    cur_shift = shift
+    cur_log = log_len
+    caps = []
+    while n > config.final_poly_len << config.rate_bits:
+        codewords.append((gl.to_u64(c[0], c[1]), gl.to_u64(c[2], c[3])))
+        lo, hi = _pair_leaves(c)
+        tree = merkle.build_tree(lo, hi, cap_height=min(config.cap_height,
+                                                        cur_log - 1))
+        layers.append(tree)
+        cap = tree.cap_ints()
+        caps.append(cap)
+        challenger.observe_cap(cap)
+        beta = challenger.get_extension_challenge()
+        beta_arr = ge.from_pair_u64(np.uint64(beta[0]), np.uint64(beta[1]))
+        c = _fold(c, beta_arr, cur_log, cur_shift)
+        cur_shift = (cur_shift * cur_shift) % P
+        cur_log -= 1
+        n >>= 1
+    # final polynomial: interpolate the remaining codeword
+    f0 = coset_intt(c[0], c[1], shift=cur_shift)
+    f1 = coset_intt(c[2], c[3], shift=cur_shift)
+    c0 = gl.to_u64(*f0)
+    c1 = gl.to_u64(*f1)
+    final_len = config.final_poly_len
+    # degree bound: everything above final_len must vanish
+    assert np.all(c0[final_len:] == 0) and np.all(c1[final_len:] == 0), \
+        "FRI input codeword exceeds the claimed degree bound"
+    final_coeffs = [(int(a), int(b)) for a, b in zip(c0[:final_len], c1[:final_len])]
+    for (a, b) in final_coeffs:
+        challenger.observe(a)
+        challenger.observe(b)
+    pow_witness = _grind(challenger, config.pow_bits)
+    proof = FriProof(caps=caps, final_coeffs=final_coeffs,
+                     pow_witness=pow_witness)
+    return proof, layers, codewords
+
+
+def _grind(challenger: Challenger, pow_bits: int) -> int:
+    """Find a nonce whose response challenge has pow_bits leading zero bits.
+    Consumes (observe nonce + one challenge) on the main transcript, exactly
+    as the verifier replays it."""
+    nonce = 0
+    while True:
+        trial = challenger.copy()
+        trial.observe(nonce)
+        c = trial.get_challenge()
+        if pow_bits == 0 or (c >> (64 - pow_bits)) == 0:
+            challenger.observe(nonce)
+            challenger.get_challenge()
+            return nonce
+        nonce += 1
+
+
+def derive_query_indices(challenger: Challenger, log_len: int, num: int):
+    return [challenger.get_challenge() % (1 << log_len) for _ in range(num)]
+
+
+def prove_low_degree(codeword, log_len: int, shift: int, config: FriConfig,
+                     challenger: Challenger) -> FriProof:
+    """Standalone prove: fold layers + self-contained query rounds."""
+    proof, layers, codewords = fri_prove(codeword, log_len, shift, config,
+                                         challenger)
+    indices = derive_query_indices(challenger, log_len, config.num_queries)
+    proof.query_rounds = [open_query(layers, codewords, i) for i in indices]
+    return proof
+
+
+def open_query(layers, codewords, index: int) -> FriQueryRound:
+    """Assemble one query round: per fold layer, the committed pair + path.
+    `codewords` holds host (c0, c1) uint64 arrays per layer."""
+    steps = []
+    idx = index
+    for tree, (c0, c1) in zip(layers, codewords):
+        h = len(c0) // 2
+        i = idx % h
+        # leaf layout: [c0(i), c1(i), c0(i+h), c1(i+h)]
+        leaf = [int(c0[i]), int(c1[i]), int(c0[i + h]), int(c1[i + h])]
+        steps.append(FriQueryStep(pair=leaf, path=tree.open(i)))
+        idx = i
+    return FriQueryRound(steps=steps)
+
+
+def fri_replay(proof: FriProof, log_len: int, config: FriConfig,
+               challenger: Challenger):
+    """Replay the FRI transcript.  Returns (betas, indices) or None if the
+    proof-of-work response fails."""
+    betas = []
+    for cap in proof.caps:
+        challenger.observe_cap(cap)
+        betas.append(challenger.get_extension_challenge())
+    for (a, b) in proof.final_coeffs:
+        challenger.observe(a)
+        challenger.observe(b)
+    challenger.observe(proof.pow_witness)
+    pow_response = challenger.get_challenge()
+    if config.pow_bits > 0 and (pow_response >> (64 - config.pow_bits)) != 0:
+        return None
+    indices = derive_query_indices(challenger, log_len, config.num_queries)
+    return betas, indices
+
+
+def fri_check_queries(proof: FriProof, betas, indices, log_len: int,
+                      shift: int, config: FriConfig,
+                      query_values=None) -> bool:
+    """Check all query rounds against the fold layers and final polynomial.
+
+    `query_values`: optional list (one per query) of the claimed codeword
+    value (ext pair) at the query position in the *input* codeword; when the
+    caller derives those from its own commitment openings (the STARK batch
+    opening), pass them to bind FRI to the outer protocol.  If None, the
+    value committed in the first fold layer is used as-is.
+    """
+    if len(proof.query_rounds) != config.num_queries:
+        return False
+
+    w0 = _root_of_unity(log_len, inverse=False)
+    for qi, (index, round_) in enumerate(zip(indices, proof.query_rounds)):
+        if len(round_.steps) != len(proof.caps):
+            return False
+        idx = index
+        cur_log = log_len
+        cur_shift = shift
+        w = w0
+        value = None  # expected value at position idx of current layer
+        if query_values is not None:
+            value = query_values[qi]
+        for layer_i, step in enumerate(round_.steps):
+            h = 1 << (cur_log - 1)
+            i = idx % h
+            leaf = step.pair
+            if not merkle.verify_path(leaf, i, step.path, proof.caps[layer_i]):
+                return False
+            v_lo = (leaf[0], leaf[1])
+            v_hi = (leaf[2], leaf[3])
+            committed = v_lo if idx < h else v_hi
+            if value is not None and committed != tuple(
+                    x % P for x in value):
+                return False
+            # fold
+            beta = betas[layer_i]
+            x_i = (cur_shift * pow(w, i, P)) % P
+            s = ext_py.add(v_lo, v_hi)
+            d = ext_py.sub(v_lo, v_hi)
+            inv2x = pow(2 * x_i, P - 2, P)
+            fo = ext_py.mul(d, ext_py.from_base(inv2x))
+            fe = ext_py.mul(s, ext_py.from_base(pow(2, P - 2, P)))
+            value = ext_py.add(fe, ext_py.mul(beta, fo))
+            idx = i
+            cur_log -= 1
+            cur_shift = (cur_shift * cur_shift) % P
+            w = (w * w) % P
+        # check against final polynomial
+        x = (cur_shift * pow(w, idx, P)) % P
+        final_val = ext_py.horner(proof.final_coeffs, ext_py.from_base(x))
+        if final_val != value:
+            return False
+    return True
+
+
+def fri_verify(proof: FriProof, log_len: int, shift: int, config: FriConfig,
+               challenger: Challenger, query_values=None) -> bool:
+    """Verify a standalone FRI proof (replay + query checks)."""
+    replay = fri_replay(proof, log_len, config, challenger)
+    if replay is None:
+        return False
+    betas, indices = replay
+    return fri_check_queries(proof, betas, indices, log_len, shift, config,
+                             query_values)

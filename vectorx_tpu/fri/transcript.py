@@ -23,6 +23,13 @@ class Challenger:
         self.input_buf: list[int] = []
         self.output_buf: list[int] = []
 
+    def copy(self) -> "Challenger":
+        c = Challenger()
+        c.state = list(self.state)
+        c.input_buf = list(self.input_buf)
+        c.output_buf = list(self.output_buf)
+        return c
+
     def observe(self, element: int) -> None:
         self.output_buf = []
         self.input_buf.append(element % P)

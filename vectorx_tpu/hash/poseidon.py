@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,6 +118,10 @@ def load_round_constants(path: str) -> None:
     _OVERRIDE["rc"] = rc
     _OVERRIDE["mds"] = mds
     _params.cache_clear()
+    # jitted callables bake the parameter tables in as constants
+    permute.clear_cache()
+    hash_no_pad.clear_cache()
+    two_to_one.clear_cache()
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,8 +131,9 @@ def _params():
     rc_arr = np.array(rc, dtype=np.uint64).reshape(N_ROUNDS, WIDTH)
     mds_arr = np.array(mds, dtype=np.uint64)
     def split(a):
-        return (jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-                jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
+        # numpy (not device) arrays: safe to cache across jit traces
+        return ((a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (a >> np.uint64(32)).astype(np.uint32))
     return split(rc_arr), split(mds_arr)
 
 
@@ -161,35 +167,50 @@ def _mds_layer(lo, hi, mds):
     return pl[..., 0], ph[..., 0]
 
 
+@functools.partial(jax.jit)
 def permute(lo, hi):
-    """Poseidon permutation on state (..., 12)."""
+    """Poseidon permutation on state (..., 12).
+
+    Each phase's rounds run under lax.scan with the round constants as scan
+    inputs — unrolling all 30 rounds (30 × 144 field muls) makes XLA:CPU
+    compile times blow up super-linearly.
+    """
     (rcl, rch), mds = _params()
     half = FULL_ROUNDS // 2
-    r = 0
-    for _ in range(half):
-        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
+
+    def full_round(state, rc):
+        lo, hi = state
+        lo, hi = gl.add(lo, hi, rc[0], rc[1])
         lo, hi = _sbox(lo, hi)
         lo, hi = _mds_layer(lo, hi, mds)
-        r += 1
-    for _ in range(PARTIAL_ROUNDS):
-        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
+        return (lo, hi), None
+
+    def partial_round(state, rc):
+        lo, hi = state
+        lo, hi = gl.add(lo, hi, rc[0], rc[1])
         s0l, s0h = _sbox(lo[..., :1], hi[..., :1])
         lo = jnp.concatenate([s0l, lo[..., 1:]], axis=-1)
         hi = jnp.concatenate([s0h, hi[..., 1:]], axis=-1)
         lo, hi = _mds_layer(lo, hi, mds)
-        r += 1
-    for _ in range(half):
-        lo, hi = gl.add(lo, hi, rcl[r], rch[r])
-        lo, hi = _sbox(lo, hi)
-        lo, hi = _mds_layer(lo, hi, mds)
-        r += 1
-    return lo, hi
+        return (lo, hi), None
+
+    rcl = jnp.asarray(rcl)
+    rch = jnp.asarray(rch)
+    st = (lo, hi)
+    st, _ = jax.lax.scan(full_round, st, (rcl[:half], rch[:half]))
+    st, _ = jax.lax.scan(partial_round, st,
+                         (rcl[half:half + PARTIAL_ROUNDS],
+                          rch[half:half + PARTIAL_ROUNDS]))
+    st, _ = jax.lax.scan(full_round, st, (rcl[half + PARTIAL_ROUNDS:],
+                                          rch[half + PARTIAL_ROUNDS:]))
+    return st
 
 
 # ---------------------------------------------------------------------------
 # Sponge / digests (plonky2 layout: rate 8, capacity 4, 4-element digest)
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def hash_no_pad(lo, hi):
     """Hash (..., k) field elements to a (..., 4) digest.
 
@@ -208,6 +229,7 @@ def hash_no_pad(lo, hi):
     return sl[..., :DIGEST], sh[..., :DIGEST]
 
 
+@jax.jit
 def two_to_one(left, right):
     """Compress two (..., 4) digests into one — the Merkle interior node op."""
     (ll, lh), (rl, rh) = left, right

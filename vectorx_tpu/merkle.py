@@ -29,27 +29,22 @@ from vectorx_tpu.hash import poseidon
 
 @dataclass
 class PoseidonMerkleTree:
-    """digest layers, leaf-first; each layer is ((n,4) lo, (n,4) hi)."""
+    """Digest layers leaf-first, held host-side as (n, 4) uint64 arrays so
+    that proof openings don't pay device round-trips."""
 
-    layers: list
+    layers: list  # list[np.ndarray (n, 4) uint64]
     cap_height: int
 
-    @property
-    def cap(self):
-        return self.layers[-1]
-
     def cap_ints(self) -> list[list[int]]:
-        lo, hi = self.cap
-        arr = gl.to_u64(lo, hi)
-        return [[int(x) for x in row] for row in arr]
+        return [[int(x) for x in row] for row in self.layers[-1]]
 
     def open(self, index: int):
         """Sibling digests from leaf level up to (but excluding) the cap."""
         path = []
         idx = index
-        for (lo, hi) in self.layers[:-1]:
+        for layer in self.layers[:-1]:
             sib = idx ^ 1
-            path.append([int(x) for x in gl.to_u64(lo[sib], hi[sib])])
+            path.append([int(x) for x in layer[sib]])
             idx >>= 1
         return path
 
@@ -71,12 +66,13 @@ def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     assert (1 << cap_height) <= n
     lo, hi = hash_leaves(leaves_lo, leaves_hi)
-    layers = [(lo, hi)]
+    device_layers = [(lo, hi)]
     while lo.shape[0] > (1 << cap_height):
         left = (lo[0::2], hi[0::2])
         right = (lo[1::2], hi[1::2])
         lo, hi = poseidon.two_to_one(left, right)
-        layers.append((lo, hi))
+        device_layers.append((lo, hi))
+    layers = [gl.to_u64(l, h) for (l, h) in device_layers]
     return PoseidonMerkleTree(layers=layers, cap_height=cap_height)
 
 

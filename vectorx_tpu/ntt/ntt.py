@@ -63,11 +63,12 @@ def power_table(base: int, count: int):
 
 @functools.lru_cache(maxsize=None)
 def _twiddles(log_n: int, inverse: bool):
-    """Full table [w^0 .. w^(n/2 - 1)] for the size-n transform (jnp)."""
+    """Full table [w^0 .. w^(n/2 - 1)] for the size-n transform.
+    numpy (not device) arrays: safe to cache across jit traces."""
     n = 1 << log_n
     w = _root_of_unity(log_n, inverse)
     lo, hi = power_table(w, max(n // 2, 1))
-    return jnp.asarray(lo), jnp.asarray(hi)
+    return lo, hi
 
 
 @functools.lru_cache(maxsize=None)
@@ -77,9 +78,10 @@ def _bit_reverse_perm(log_n: int):
     rev = np.zeros(n, dtype=np.int32)
     for b in range(log_n):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
-    return jnp.asarray(rev)
+    return rev
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _transform(lo, hi, log_n: int, inverse: bool):
     n = 1 << log_n
     assert lo.shape[-1] == n

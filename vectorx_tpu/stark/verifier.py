@@ -1,0 +1,132 @@
+"""STARK verifier — host-side scalar math (transcript replay, one
+constraint check at ζ, and per-query Merkle + DEEP + FRI consistency).
+
+Mirrors the structure plonky2's verifier applies to the reference circuits
+(SURVEY.md §2 E1): everything the prover observed is re-derived and every
+committed value the proof relies on is opened and checked.
+"""
+
+from __future__ import annotations
+
+from vectorx_tpu import merkle
+from vectorx_tpu.field import ext_py
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.fri.fri import fri_check_queries, fri_replay
+from vectorx_tpu.fri.transcript import Challenger
+from vectorx_tpu.ntt.ntt import _root_of_unity
+from vectorx_tpu.stark.air import Air, ExtAlgebra
+from vectorx_tpu.stark.prover import StarkConfig, StarkProof, \
+    _num_quotient_chunks
+
+P = gl.P
+
+
+def verify(air: Air, proof: StarkProof,
+           config: StarkConfig = StarkConfig()) -> bool:
+    n = air.n
+    W = air.width
+    chunks = _num_quotient_chunks(air)
+    blowup = 1 << config.rate_bits
+    N = n * blowup
+    log_N = air.log_n + config.rate_bits
+    public = air.public_inputs()
+
+    challenger = Challenger()
+    challenger.observe_many(public)
+    challenger.observe_cap(proof.trace_cap)
+    alpha = challenger.get_extension_challenge()
+    challenger.observe_cap(proof.quotient_cap)
+    zeta = challenger.get_extension_challenge()
+    if len(proof.trace_at_zeta) != W or len(proof.trace_at_zeta_next) != W \
+            or len(proof.quotient_at_zeta) != chunks:
+        return False
+    for pair in (*proof.trace_at_zeta, *proof.trace_at_zeta_next,
+                 *proof.quotient_at_zeta):
+        challenger.observe(pair[0])
+        challenger.observe(pair[1])
+    gamma = challenger.get_extension_challenge()
+
+    # ---- constraint identity at ζ ----------------------------------------
+    w = _root_of_unity(air.log_n, inverse=False)
+    x_last = pow(w, n - 1, P)
+    zh_zeta = ext_py.sub(ext_py.exp(zeta, n), ext_py.ONE)
+    if zh_zeta == ext_py.ZERO:
+        return False  # ζ degenerately landed in the subgroup
+
+    local = list(proof.trace_at_zeta)
+    nxt = list(proof.trace_at_zeta_next)
+    transition_vals = air.transition(ExtAlgebra, local, nxt, public)
+
+    acc = ext_py.ZERO
+    a_pow = ext_py.ONE
+    mask = ext_py.sub(zeta, ext_py.from_base(x_last))
+    for t in transition_vals:
+        acc = ext_py.add(acc, ext_py.mul(a_pow, ext_py.mul(t, mask)))
+        a_pow = ext_py.mul(a_pow, alpha)
+    for (row, col, value) in air.boundaries(public):
+        x_r = pow(w, row, P)
+        diff = ext_py.sub(local[col], ext_py.from_base(value))
+        den_inv = ext_py.inv(ext_py.sub(zeta, ext_py.from_base(x_r)))
+        term = ext_py.mul(ext_py.mul(diff, zh_zeta), den_inv)
+        acc = ext_py.add(acc, ext_py.mul(a_pow, term))
+        a_pow = ext_py.mul(a_pow, alpha)
+
+    # Q(ζ) = Σ ζ^{k·n} Q_k(ζ)
+    q_zeta = ext_py.ZERO
+    z_n = ext_py.exp(zeta, n)
+    z_pow = ext_py.ONE
+    for k in range(chunks):
+        q_zeta = ext_py.add(q_zeta, ext_py.mul(z_pow, proof.quotient_at_zeta[k]))
+        z_pow = ext_py.mul(z_pow, z_n)
+    if acc != ext_py.mul(q_zeta, zh_zeta):
+        return False
+
+    # ---- FRI replay + DEEP query checks ----------------------------------
+    replay = fri_replay(proof.fri_proof, log_N, config.fri, challenger)
+    if replay is None:
+        return False
+    betas, indices = replay
+    if len(proof.trace_openings) != len(indices) or \
+            len(proof.quotient_openings) != len(indices):
+        return False
+
+    w8 = _root_of_unity(log_N, inverse=False)
+    w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
+    query_values = []
+    for q, t_open, q_open in zip(indices, proof.trace_openings,
+                                 proof.quotient_openings):
+        if len(t_open.leaf) != W or len(q_open.leaf) != 2 * chunks:
+            return False
+        if not merkle.verify_path(t_open.leaf, q, t_open.path,
+                                  proof.trace_cap):
+            return False
+        if not merkle.verify_path(q_open.leaf, q, q_open.path,
+                                  proof.quotient_cap):
+            return False
+        x_q = (gl.GENERATOR * pow(w8, q, P)) % P
+        inv_xz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), zeta))
+        inv_xwz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), w_zeta))
+        val = ext_py.ZERO
+        g_pow = ext_py.ONE
+        for j in range(W):
+            diff = ext_py.sub(ext_py.from_base(t_open.leaf[j]),
+                              proof.trace_at_zeta[j])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        for j in range(W):
+            diff = ext_py.sub(ext_py.from_base(t_open.leaf[j]),
+                              proof.trace_at_zeta_next[j])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xwz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        for k in range(chunks):
+            qk = (q_open.leaf[2 * k], q_open.leaf[2 * k + 1])
+            diff = ext_py.sub(qk, proof.quotient_at_zeta[k])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        query_values.append(val)
+
+    return fri_check_queries(proof.fri_proof, betas, indices, log_N,
+                             gl.GENERATOR, config.fri, query_values)
