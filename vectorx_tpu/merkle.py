@@ -99,6 +99,21 @@ def verify_path(leaf_ints: list[int], index: int, path: list[list[int]],
 # SHA-256 simple Merkle (byte-level, reference-compatible)
 # ---------------------------------------------------------------------------
 
+def sha256_merkle_root_device(leaves: np.ndarray) -> bytes:
+    """Device-batched version of `sha256_merkle_root` for power-of-two leaf
+    counts: each tree level is one `sha256_batch` call over all sibling
+    pairs.  leaves: (n, 32) uint8, n a power of two."""
+    from vectorx_tpu.hash.sha256 import sha256_batch
+
+    n = leaves.shape[0]
+    assert n & (n - 1) == 0 and n > 0
+    level = np.ascontiguousarray(leaves, dtype=np.uint8)
+    while level.shape[0] > 1:
+        pairs = level.reshape(level.shape[0] // 2, 64)
+        level = sha256_batch(pairs)
+    return level[0].tobytes()
+
+
 def sha256_merkle_root(leaves: list[bytes]) -> bytes:
     """Simple Merkle root over 32-byte leaves, bit-exact with the reference
     `RpcDataFetcher::get_merkle_root` (input/mod.rs:464-489): leaves are not
