@@ -1,0 +1,116 @@
+"""Distributed four-step NTT: polynomial sharded over the mesh, butterfly
+stages local, one all-to-all transpose over ICI.
+
+This is SURVEY.md §7 layer 3 / hard-part 3: for N = R·C with the C axis
+sharded over `p` devices,
+
+  1. column NTTs (size R) — local to each device's column slab,
+  2. twiddle scaling by w_N^{c·k1} — local (index arithmetic in uint32,
+     exploiting N = 2^m so (c·k1) mod N survives wrapping multiplies),
+  3. transpose reshard — ONE `all_to_all` (the only inter-chip exchange),
+  4. row NTTs (size C) — local to each device's row slab.
+
+Output: evaluations in "transposed digit order": X[k1 + R·k2] lives at
+logical position [k1, k2] of the (R, C) result, k1-sharded.  The companion
+`four_step_intt` inverts the exact same pipeline, so LDE/commitment flows
+can stay in transposed order end-to-end and only the final (tiny) opening
+gathers reorder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.ntt import ntt, intt, power_table
+from vectorx_tpu.ntt.ntt import _root_of_unity
+
+P_GL = gl.P
+
+
+def _twiddle_table(log_n: int, inverse: bool):
+    """Full (N,) table of w_N^i as numpy uint32 pairs."""
+    w = _root_of_unity(log_n, inverse)
+    return power_table(w, 1 << log_n)
+
+
+def four_step_ntt(lo, hi, mesh: Mesh, axis: str = "poly",
+                  inverse: bool = False):
+    """NTT of a size-N polynomial laid out as (R, C) row-major
+    (a[r, c] = coeff r·C + c), with C sharded over `axis`.
+
+    Returns the (R, C) result in transposed digit order (see module doc),
+    sharded along axis 0 (k1).
+    """
+    R, C = lo.shape
+    N = R * C
+    log_n = N.bit_length() - 1
+    assert 1 << log_n == N
+    p = mesh.shape[axis]
+    assert C % p == 0 and R % p == 0
+
+    twl, twh = _twiddle_table(log_n, inverse)
+    twl = jnp.asarray(twl)
+    twh = jnp.asarray(twh)
+    mask = jnp.uint32(N - 1)
+
+    def local_fn(lo_blk, hi_blk, twl, twh):
+        # lo_blk: (R, C/p) — this device's column slab
+        cp = lo_blk.shape[1]
+        me = jax.lax.axis_index(axis)
+        # 1. column NTTs: size R along axis 0
+        l, h = (lo_blk.T, hi_blk.T)            # (C/p, R)
+        l, h = (intt(l, h) if inverse else ntt(l, h))
+        # 2. twiddle by w_N^{c·k1}: c global, k1 in [0, R)
+        c_idx = (me * cp + jax.lax.broadcasted_iota(jnp.uint32, (cp, R), 0))
+        k1 = jax.lax.broadcasted_iota(jnp.uint32, (cp, R), 1)
+        tw_idx = (c_idx * k1) & mask           # exact: N is a power of two
+        l, h = gl.mul(l, h, jnp.take(twl, tw_idx), jnp.take(twh, tw_idx))
+        # 3. transpose reshard: (C/p, R) -> (C, R/p) via one all-to-all
+        l = jax.lax.all_to_all(l, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        h = jax.lax.all_to_all(h, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        # 4. row NTTs: size C along axis 0 -> operate transposed
+        l, h = (l.T, h.T)                      # (R/p, C)
+        l, h = (intt(l, h) if inverse else ntt(l, h))
+        return l, h
+
+    spec_in = P(None, axis)
+    spec_out = P(axis, None)
+    fn = shard_map(
+        functools.partial(local_fn),
+        mesh=mesh,
+        in_specs=(spec_in, spec_in, P(), P()),
+        out_specs=(spec_out, spec_out),
+    )
+    out_l, out_h = fn(lo, hi, twl, twh)
+    if inverse:
+        # the two intt passes each divided by their local size; together
+        # that's the full 1/N — but the twiddle stage used inverse roots
+        # already, so nothing more to scale.
+        pass
+    return out_l, out_h
+
+
+def four_step_ntt_reference(lo, hi, R: int, C: int, inverse: bool = False):
+    """Single-device reference of the same digit-order transform, for tests
+    and for choosing (R, C) splits."""
+    N = R * C
+    log_n = N.bit_length() - 1
+    twl, twh = _twiddle_table(log_n, inverse)
+    l, h = lo.reshape(R, C).T, hi.reshape(R, C).T      # (C, R)
+    l, h = (intt(l, h) if inverse else ntt(l, h))
+    c = np.arange(C, dtype=np.uint64)[:, None]
+    k1 = np.arange(R, dtype=np.uint64)[None, :]
+    idx = ((c * k1) % N).astype(np.int64)
+    l, h = gl.mul(l, h, jnp.asarray(twl)[idx], jnp.asarray(twh)[idx])
+    l, h = l.T, h.T                                     # (R, C)
+    l, h = (intt(l, h) if inverse else ntt(l, h))
+    return l, h
