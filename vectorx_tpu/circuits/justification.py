@@ -44,11 +44,17 @@ def verify_voting_threshold(num_active: int, validator_signed: list[bool],
 def verify_simple_justification(justification: JustificationData,
                                 block_number: int, block_hash: bytes,
                                 authority_set_id: int,
-                                authority_set_hash: bytes) -> None:
+                                authority_set_hash: bytes,
+                                signature_backend: str = "host") -> None:
     """Full simple-justification check (justification.rs:195-257):
     1) authority-set commitment matches, 2) precommit matches the target
     block/set, 3) every marked signature verifies over the shared 53-byte
-    message, 4) >2/3 of the set signed."""
+    message, 4) >2/3 of the set signed.
+
+    signature_backend: "host" checks each signature with the scalar RFC 8032
+    path; "device" runs the conditional batched verification on the
+    accelerator (`curves/ed25519_batch.py` — the
+    curta_eddsa_verify_sigs_conditional equivalent)."""
     j = justification
     commitment = compute_authority_set_commitment(j.num_authorities, j.pubkeys)
     if commitment != authority_set_hash:
@@ -62,11 +68,20 @@ def verify_simple_justification(justification: JustificationData,
     if bh != block_hash:
         raise JustificationError("precommit block hash mismatch")
 
-    for i, signed in enumerate(j.validator_signed):
-        if not signed:
-            continue
-        if not ed25519.verify(j.pubkeys[i], j.signed_message,
-                              j.signatures[i]):
-            raise JustificationError(f"invalid signature from validator {i}")
+    if signature_backend == "device":
+        from vectorx_tpu.curves.ed25519_batch import batch_verify
+
+        n = len(j.pubkeys)
+        if not batch_verify(j.pubkeys, [j.signed_message] * n, j.signatures,
+                            signed_mask=list(j.validator_signed)):
+            raise JustificationError("batched signature verification failed")
+    else:
+        for i, signed in enumerate(j.validator_signed):
+            if not signed:
+                continue
+            if not ed25519.verify(j.pubkeys[i], j.signed_message,
+                                  j.signatures[i]):
+                raise JustificationError(
+                    f"invalid signature from validator {i}")
 
     verify_voting_threshold(j.num_authorities, j.validator_signed)
