@@ -27,14 +27,19 @@ import jax
 import jax.numpy as jnp
 
 # Field modulus p = 2^64 - 2^32 + 1 and its split into uint32 limbs.
-P = (1 << 64) - (1 << 32) + 1
-P_LO = jnp.uint32(1)            # p mod 2^32
-P_HI = jnp.uint32(0xFFFFFFFF)   # p >> 32
-EPSILON = jnp.uint32(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
+# Constants are numpy scalars (not device arrays) so they constant-fold into
+# any trace — including Pallas kernel bodies, which reject captured device
+# constants.
+import numpy as np  # noqa: E402  (used for trace-safe scalar constants)
 
-MASK16 = jnp.uint32(0xFFFF)
-U32_ZERO = jnp.uint32(0)
-U32_ONE = jnp.uint32(1)
+P = (1 << 64) - (1 << 32) + 1
+P_LO = np.uint32(1)            # p mod 2^32
+P_HI = np.uint32(0xFFFFFFFF)   # p >> 32
+EPSILON = np.uint32(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
+
+MASK16 = np.uint32(0xFFFF)
+U32_ZERO = np.uint32(0)
+U32_ONE = np.uint32(1)
 
 # Multiplicative group generator and two-adic subgroup generator (order 2^32).
 # g = 7;  w = 7^((p-1) / 2^32) mod p.  TWO_ADICITY = 32.
