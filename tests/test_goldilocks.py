@@ -30,6 +30,22 @@ def test_roundtrip():
     assert np.array_equal(back, (x.astype(object) % P).astype(np.uint64))
 
 
+def test_double_wrap_edge_cases():
+    """a+b ≥ 2^65 − 2^32 makes the first EPSILON fold wrap again — the
+    regression behind the size-32 delta-vector iNTT failure."""
+    tops = [(1 << 64) - 1, (1 << 64) - 2, (1 << 64) - (1 << 32),
+            (1 << 64) - (1 << 32) + 1, (1 << 63) + (1 << 62)]
+    a = np.array([x for x in tops for _ in tops], dtype=np.uint64)
+    b = np.array(tops * len(tops), dtype=np.uint64)
+    al, ah = gl.from_u64(a)
+    bl, bh = gl.from_u64(b)
+    got_add = gl.to_u64(*gl.add(al, ah, bl, bh))
+    got_sub = gl.to_u64(*gl.sub(al, ah, bl, bh))
+    for i in range(len(a)):
+        assert int(got_add[i]) == ref.add(int(a[i]), int(b[i])), f"add {i}"
+        assert int(got_sub[i]) == ref.sub(int(a[i]), int(b[i])), f"sub {i}"
+
+
 @pytest.mark.parametrize("op,refop", [
     (gl.add, ref.add),
     (gl.sub, ref.sub),

@@ -37,12 +37,27 @@ def test_ntt_matches_dft():
 
 
 def test_roundtrip():
-    for log_n in (1, 4, 8, 12):
+    for log_n in (1, 4, 5, 8, 12):
         n = 1 << log_n
         c = rand_poly(n)
         cl, ch = gl.from_u64(c)
         back = gl.to_u64(*intt(*ntt(cl, ch)))
         assert np.array_equal(back, c % np.uint64(P)), f"n={n}"
+
+
+def test_roundtrip_structured_vectors():
+    """Delta/selector-style vectors drive the arithmetic into the
+    double-wrap edge case the random vectors miss (regression for the
+    Poseidon-AIR selector-column interpolation failure)."""
+    for log_n in (5, 6, 8):
+        n = 1 << log_n
+        for idx in ([n - 1], [n - 2, n - 1], [0], [0, 1, 2, 3]):
+            d = np.zeros(n, dtype=np.uint64)
+            d[idx] = 1
+            back = gl.to_u64(*ntt(*intt(*gl.from_u64(d))))
+            assert np.array_equal(back, d), f"n={n} idx={idx} (ntt∘intt)"
+            back2 = gl.to_u64(*intt(*ntt(*gl.from_u64(d))))
+            assert np.array_equal(back2, d), f"n={n} idx={idx} (intt∘ntt)"
 
 
 def test_batched():

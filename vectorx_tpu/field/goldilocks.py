@@ -137,34 +137,34 @@ def reduce128(r0, r1, r2, r3):
     nz = (a != 0).astype(jnp.uint32)
     t1l = U32_ZERO - a            # (2^32 - a) mod 2^32
     t1h = a - nz
-    # result = t0 + t1  (on carry, add EPSILON; that add cannot carry again
-    # because t0 < 2^64 - EPSILON whenever the first add carries)
+    # result = t0 + t1; fold wraps as +EPSILON (t1 ≤ (2^32-1)^2 bounds the
+    # chain so two folds are provably enough)
     sl, sh, cry = add64(t0l, t0h, t1l, t1h)
-    sl2 = sl + EPSILON * cry
-    cry2 = ((sl2 < sl) & (cry == 1)).astype(jnp.uint32)
-    sh = sh + cry2
-    return sl2, sh
+    sl, sh, cry = add64(sl, sh, EPSILON * cry, U32_ZERO)
+    sl, sh, _ = add64(sl, sh, EPSILON * cry, U32_ZERO)
+    return sl, sh
 
 
 def add(al, ah, bl, bh):
-    """Field addition of non-canonical elements (result non-canonical)."""
+    """Field addition of non-canonical elements (result non-canonical).
+
+    Each 2^64 wrap folds back as +EPSILON; the first fold can itself wrap
+    when a+b ≥ 2^65 − 2^32 (both inputs near 2^64), so fold twice with
+    exact carries — after the second fold the value is < 2^33, no third.
+    """
     sl, sh, cry = add64(al, ah, bl, bh)
-    # overflow by 2^64 ≡ EPSILON
-    sl2 = sl + EPSILON * cry
-    c2 = ((sl2 < sl) & (cry == 1)).astype(jnp.uint32)
-    sh2 = sh + c2
-    # A second wrap is impossible: carry implies sum-2^64 < 2^64-EPSILON.
-    return sl2, sh2
+    sl, sh, cry = add64(sl, sh, EPSILON * cry, U32_ZERO)
+    sl, sh, _ = add64(sl, sh, EPSILON * cry, U32_ZERO)
+    return sl, sh
 
 
 def sub(al, ah, bl, bh):
-    """Field subtraction of non-canonical elements (result non-canonical)."""
+    """Field subtraction of non-canonical elements (result non-canonical).
+    Symmetric to `add`: each borrow folds as −EPSILON, twice."""
     dl, dh, brw = sub64(al, ah, bl, bh)
-    el = EPSILON * brw
-    dl2 = dl - el
-    b2 = ((dl < el) & (brw == 1)).astype(jnp.uint32)
-    dh2 = dh - b2
-    return dl2, dh2
+    dl, dh, brw = sub64(dl, dh, EPSILON * brw, U32_ZERO)
+    dl, dh, _ = sub64(dl, dh, EPSILON * brw, U32_ZERO)
+    return dl, dh
 
 
 def neg(al, ah):

@@ -68,9 +68,20 @@ class Air:
     def public_inputs(self) -> list[int]:
         return []
 
-    def transition(self, alg, local: list, nxt: list, public: list[int]):
+    def constant_columns(self):
+        """Preprocessed columns as a (K, n) uint64 array (round constants,
+        selectors, …).  Committed once per AIR ("verification key"), opened
+        like witness columns — the role plonky2's constants/sigmas
+        commitment plays (SURVEY.md §2 E1).  Default: none."""
+        import numpy as np
+
+        return np.zeros((0, self.n), dtype=np.uint64)
+
+    def transition(self, alg, local: list, nxt: list, public: list[int],
+                   consts: list | None = None):
         """Constraint values that must vanish on every row but the last.
-        `local`/`nxt` are lists of `width` algebra elements."""
+        `local`/`nxt` are lists of `width` algebra elements; `consts` holds
+        the constant columns evaluated on the same row."""
         raise NotImplementedError
 
     def boundaries(self, public: list[int]):
@@ -94,7 +105,7 @@ class FibonacciAir(Air):
     def public_inputs(self):
         return [self.a0, self.b0, self.final]
 
-    def transition(self, alg, local, nxt, public):
+    def transition(self, alg, local, nxt, public, consts=None):
         a, b = local
         an, bn = nxt
         return [

@@ -62,6 +62,25 @@ class StarkProof:
     fri_proof: object
     trace_openings: list         # per query: TreeOpening
     quotient_openings: list      # per query: TreeOpening
+    constants_at_zeta: list = field(default_factory=list)  # K ext pairs
+    constants_openings: list = field(default_factory=list)
+
+
+def preprocess(air: Air, config: "StarkConfig"):
+    """Build the preprocessed-columns commitment (the AIR's "verification
+    key").  Deterministic; prover and verifier both derive it.  Returns
+    (tree or None, lde (lo, hi) or None, coeff (lo, hi) or None)."""
+    consts = air.constant_columns()
+    if consts.shape[0] == 0:
+        return None, None, None
+    n = air.n
+    N = n << config.rate_bits
+    cl, ch = gl.from_u64(consts)
+    kl, kh = intt(cl, ch)
+    pad = ((0, 0), (0, N - n))
+    ll, lh = coset_ntt(jnp.pad(kl, pad), jnp.pad(kh, pad))
+    tree = merkle.build_tree(ll.T, lh.T, cap_height=config.fri.cap_height)
+    return tree, (ll, lh), (kl, kh)
 
 
 def _num_quotient_chunks(air: Air) -> int:
@@ -160,6 +179,12 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     public = air.public_inputs()
     challenger.observe_many(public)
 
+    # ---- preprocessed (constant) columns ---------------------------------
+    const_tree, const_lde, const_coeff = preprocess(air, config)
+    if const_tree is not None:
+        challenger.observe_cap(const_tree.cap_ints())
+    K = air.constant_columns().shape[0]
+
     # ---- trace commit -----------------------------------------------------
     tl, th = gl.from_u64(trace_u64)                  # (W, n)
     coeff_l, coeff_h = intt(tl, th)                  # keep coefficients
@@ -174,7 +199,12 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     local = [(tr_lde_l[j], tr_lde_h[j]) for j in range(W)]
     nxt = [(jnp.roll(tr_lde_l[j], -blowup), jnp.roll(tr_lde_h[j], -blowup))
            for j in range(W)]
-    transition_vals = air.transition(DeviceAlgebra, local, nxt, public)
+    consts_dev = None
+    if K:
+        cll, clh = const_lde
+        consts_dev = [(cll[k], clh[k]) for k in range(K)]
+    transition_vals = air.transition(DeviceAlgebra, local, nxt, public,
+                                     consts_dev)
 
     xl, xh = _domain_x(log_N, gl.GENERATOR)
     zh_l, zh_h, zhinv_l, zhinv_h = _zh_on_domain(air, config)
@@ -230,6 +260,9 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
     trace_at_zeta = eval_base_polys_at_ext(coeff_l, coeff_h, zeta)
     trace_at_zeta_next = eval_base_polys_at_ext(coeff_l, coeff_h, w_zeta)
+    constants_at_zeta = []
+    if K:
+        constants_at_zeta = eval_base_polys_at_ext(*const_coeff, zeta)
     quot_at_zeta_flat = eval_base_polys_at_ext(ql, qh, zeta)
     # Q_k(ζ): the chunk rows are the c0/c1 coefficient vectors of an
     # extension-valued polynomial; combine the two base evaluations.
@@ -240,7 +273,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         # Q_k(ζ) = e0 + x·e1 where x is the extension generator
         quotient_at_zeta.append(ext_py.add(e0, ext_py.mul((0, 1), e1)))
 
-    for pair in (*trace_at_zeta, *trace_at_zeta_next, *quotient_at_zeta):
+    for pair in (*trace_at_zeta, *trace_at_zeta_next, *constants_at_zeta,
+                 *quotient_at_zeta):
         challenger.observe(pair[0])
         challenger.observe(pair[1])
 
@@ -275,6 +309,11 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         L = accumulate(L, g_pow, tr_lde_l[j], tr_lde_h[j],
                        trace_at_zeta_next[j], inv_x_wzeta)
         g_pow = ext_py.mul(g_pow, gamma)
+    for k in range(K):
+        cll, clh = const_lde
+        L = accumulate(L, g_pow, cll[k], clh[k], constants_at_zeta[k],
+                       inv_x_zeta)
+        g_pow = ext_py.mul(g_pow, gamma)
     for k in range(chunks):
         # Q_k columns are stored as two base columns; Q_k(x) = c0(x) + X·c1(x)
         qk = (q_lde_l[2 * k], q_lde_h[2 * k],
@@ -298,8 +337,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     # per-query openings of the trace/quotient trees
     tr_host_l = gl.to_u64(tr_lde_l, tr_lde_h)      # (W, N) uint64
     q_host = gl.to_u64(q_lde_l, q_lde_h)           # (2*chunks, N)
+    c_host = gl.to_u64(*const_lde) if K else None
     trace_openings = []
     quotient_openings = []
+    constants_openings = []
     for q in indices:
         trace_openings.append(TreeOpening(
             leaf=[int(x) for x in tr_host_l[:, q]],
@@ -307,6 +348,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         quotient_openings.append(TreeOpening(
             leaf=[int(x) for x in q_host[:, q]],
             path=quot_tree.open(q)))
+        if K:
+            constants_openings.append(TreeOpening(
+                leaf=[int(x) for x in c_host[:, q]],
+                path=const_tree.open(q)))
 
     return StarkProof(
         trace_cap=trace_tree.cap_ints(),
@@ -317,4 +362,6 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         fri_proof=fri_proof,
         trace_openings=trace_openings,
         quotient_openings=quotient_openings,
+        constants_at_zeta=constants_at_zeta,
+        constants_openings=constants_openings,
     )

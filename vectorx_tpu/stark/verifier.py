@@ -16,13 +16,14 @@ from vectorx_tpu.fri.transcript import Challenger
 from vectorx_tpu.ntt.ntt import _root_of_unity
 from vectorx_tpu.stark.air import Air, ExtAlgebra
 from vectorx_tpu.stark.prover import StarkConfig, StarkProof, \
-    _num_quotient_chunks
+    _num_quotient_chunks, preprocess
 
 P = gl.P
 
 
 def verify(air: Air, proof: StarkProof,
-           config: StarkConfig = StarkConfig()) -> bool:
+           config: StarkConfig = StarkConfig(),
+           preprocessed=None) -> bool:
     n = air.n
     W = air.width
     chunks = _num_quotient_chunks(air)
@@ -30,18 +31,28 @@ def verify(air: Air, proof: StarkProof,
     N = n * blowup
     log_N = air.log_n + config.rate_bits
     public = air.public_inputs()
+    K = air.constant_columns().shape[0]
 
     challenger = Challenger()
     challenger.observe_many(public)
+    const_cap = None
+    if K:
+        # the preprocessed commitment is the verifier's own "verification
+        # key" — derived from the AIR, never taken from the proof
+        const_tree = preprocessed[0] if preprocessed else \
+            preprocess(air, config)[0]
+        const_cap = const_tree.cap_ints()
+        challenger.observe_cap(const_cap)
     challenger.observe_cap(proof.trace_cap)
     alpha = challenger.get_extension_challenge()
     challenger.observe_cap(proof.quotient_cap)
     zeta = challenger.get_extension_challenge()
     if len(proof.trace_at_zeta) != W or len(proof.trace_at_zeta_next) != W \
-            or len(proof.quotient_at_zeta) != chunks:
+            or len(proof.quotient_at_zeta) != chunks \
+            or len(proof.constants_at_zeta) != K:
         return False
     for pair in (*proof.trace_at_zeta, *proof.trace_at_zeta_next,
-                 *proof.quotient_at_zeta):
+                 *proof.constants_at_zeta, *proof.quotient_at_zeta):
         challenger.observe(pair[0])
         challenger.observe(pair[1])
     gamma = challenger.get_extension_challenge()
@@ -55,7 +66,8 @@ def verify(air: Air, proof: StarkProof,
 
     local = list(proof.trace_at_zeta)
     nxt = list(proof.trace_at_zeta_next)
-    transition_vals = air.transition(ExtAlgebra, local, nxt, public)
+    consts = list(proof.constants_at_zeta) if K else None
+    transition_vals = air.transition(ExtAlgebra, local, nxt, public, consts)
 
     acc = ext_py.ZERO
     a_pow = ext_py.ONE
@@ -90,11 +102,13 @@ def verify(air: Air, proof: StarkProof,
             len(proof.quotient_openings) != len(indices):
         return False
 
+    if K and len(proof.constants_openings) != len(indices):
+        return False
     w8 = _root_of_unity(log_N, inverse=False)
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
     query_values = []
-    for q, t_open, q_open in zip(indices, proof.trace_openings,
-                                 proof.quotient_openings):
+    for qi, (q, t_open, q_open) in enumerate(zip(
+            indices, proof.trace_openings, proof.quotient_openings)):
         if len(t_open.leaf) != W or len(q_open.leaf) != 2 * chunks:
             return False
         if not merkle.verify_path(t_open.leaf, q, t_open.path,
@@ -103,6 +117,12 @@ def verify(air: Air, proof: StarkProof,
         if not merkle.verify_path(q_open.leaf, q, q_open.path,
                                   proof.quotient_cap):
             return False
+        c_open = None
+        if K:
+            c_open = proof.constants_openings[qi]
+            if len(c_open.leaf) != K or not merkle.verify_path(
+                    c_open.leaf, q, c_open.path, const_cap):
+                return False
         x_q = (gl.GENERATOR * pow(w8, q, P)) % P
         inv_xz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), zeta))
         inv_xwz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), w_zeta))
@@ -119,6 +139,12 @@ def verify(air: Air, proof: StarkProof,
                               proof.trace_at_zeta_next[j])
             val = ext_py.add(val, ext_py.mul(g_pow,
                                              ext_py.mul(diff, inv_xwz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        for k in range(K):
+            diff = ext_py.sub(ext_py.from_base(c_open.leaf[k]),
+                              proof.constants_at_zeta[k])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xz)))
             g_pow = ext_py.mul(g_pow, gamma)
         for k in range(chunks):
             qk = (q_open.leaf[2 * k], q_open.leaf[2 * k + 1])
