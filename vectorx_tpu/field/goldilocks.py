@@ -222,9 +222,38 @@ def pow_const(al, ah, e: int):
     return rl, rh
 
 
+_INV_EXP_BITS = None
+
+
+@jax.jit
 def inv(al, ah):
-    """Batched modular inverse via Fermat: a^(p-2).  inv(0) = 0."""
-    return pow_const(al, ah, P - 2)
+    """Batched modular inverse via Fermat: a^(p-2).  inv(0) = 0.
+
+    Square-and-multiply under lax.fori_loop (64 iterations, 2-mul body):
+    unrolling the chain triggers the XLA:CPU super-linear compile blowup.
+    """
+    global _INV_EXP_BITS
+    import numpy as np
+
+    if _INV_EXP_BITS is None:
+        e = P - 2
+        _INV_EXP_BITS = np.array([(e >> i) & 1 for i in range(64)],
+                                 dtype=np.uint32)
+    bits = jnp.asarray(_INV_EXP_BITS)
+
+    def body(i, st):
+        rl, rh, bl, bh = st
+        do = jnp.take(bits, i)
+        ml, mh = mul(rl, rh, bl, bh)
+        rl = jnp.where(do == 1, ml, rl)
+        rh = jnp.where(do == 1, mh, rh)
+        bl, bh = sqr(bl, bh)
+        return (rl, rh, bl, bh)
+
+    rl = jnp.ones_like(al)
+    rh = jnp.zeros_like(ah)
+    rl, rh, _, _ = jax.lax.fori_loop(0, 64, body, (rl, rh, al, ah))
+    return rl, rh
 
 
 def from_u64(x) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -100,6 +100,19 @@ def _ext_scale_base(pair_dev, bl, bh):
     return (*c0, *c1)
 
 
+def _sum_rows(lo, hi):
+    """Field-sum a (B, N) limb array over axis 0 (pairwise tree reduce)."""
+    while lo.shape[0] > 1:
+        half = lo.shape[0] // 2
+        sl, sh = gl.add(lo[:half], hi[:half], lo[half:2 * half],
+                        hi[half:2 * half])
+        if lo.shape[0] % 2:
+            sl = jnp.concatenate([sl, lo[-1:]], axis=0)
+            sh = jnp.concatenate([sh, hi[-1:]], axis=0)
+        lo, hi = sl, sh
+    return lo[0], hi[0]
+
+
 def ext_power_table_host(zeta, count):
     """[ζ^0 .. ζ^(count-1)] as two numpy uint64 arrays (c0s, c1s)."""
     c0s = np.empty(count, dtype=np.uint64)
@@ -220,19 +233,38 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         cl, ch = gl.mul(t[0], t[1], xml, xmh)
         acc = ge.add(acc, _ext_scale_base(_ext_from_pair(a_pow), cl, ch))
         a_pow = ext_py.mul(a_pow, alpha)
-    for (row, col, value) in air.boundaries(public):
-        # (P_col(x) - v) · Z_H(x) / (x - w^row)
-        x_r = pow(w, row, P)
-        dl, dh = gl.sub(xl, xh, jnp.uint32(x_r & 0xFFFFFFFF),
-                        jnp.uint32(x_r >> 32))
+    boundaries = air.boundaries(public)
+    if boundaries:
+        # all boundary terms batched: (B, N) stacked rows, ONE batched
+        # inverse, α-weighted sum over the boundary axis
+        import numpy as _np
+
+        rows_x = _np.array([pow(w, row, P) for (row, _c, _v) in boundaries],
+                           dtype=_np.uint64)
+        vals = _np.array([v for (_r, _c, v) in boundaries], dtype=_np.uint64)
+        cols = [c for (_r, c, _v) in boundaries]
+        xrl, xrh = gl.from_u64(rows_x)
+        vl_, vh_ = gl.from_u64(vals)
+        a_pows = []
+        for _ in boundaries:
+            a_pows.append(a_pow)
+            a_pow = ext_py.mul(a_pow, alpha)
+        ap = ge.from_pair_u64(
+            _np.array([p[0] for p in a_pows], dtype=_np.uint64),
+            _np.array([p[1] for p in a_pows], dtype=_np.uint64))
+        dl, dh = gl.sub(xl[None, :], xh[None, :],
+                        xrl[:, None], xrh[:, None])        # (B, N)
         dinv_l, dinv_h = gl.inv(dl, dh)
-        pl, ph = gl.sub(tr_lde_l[col], tr_lde_h[col],
-                        jnp.uint32(value & 0xFFFFFFFF),
-                        jnp.uint32(value >> 32))
-        cl, ch = gl.mul(pl, ph, zh_l, zh_h)
+        pcl = jnp.stack([tr_lde_l[c] for c in cols])
+        pch = jnp.stack([tr_lde_h[c] for c in cols])
+        pl_, ph_ = gl.sub(pcl, pch, vl_[:, None], vh_[:, None])
+        cl, ch = gl.mul(pl_, ph_, zh_l[None, :], zh_h[None, :])
         cl, ch = gl.mul(cl, ch, dinv_l, dinv_h)
-        acc = ge.add(acc, _ext_scale_base(_ext_from_pair(a_pow), cl, ch))
-        a_pow = ext_py.mul(a_pow, alpha)
+        # α-weighted ext sum over the boundary axis
+        t0 = gl.mul(cl, ch, ap[0][:, None], ap[1][:, None])
+        t1 = gl.mul(cl, ch, ap[2][:, None], ap[3][:, None])
+        term = (_sum_rows(*t0), _sum_rows(*t1))
+        acc = ge.add(acc, (*term[0], *term[1]))
 
     # ---- quotient ---------------------------------------------------------
     q0 = gl.mul(acc[0], acc[1], zhinv_l, zhinv_h)
@@ -288,43 +320,68 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     inv_x_wzeta = ge.inv(ge.sub(x_ext, tuple(
         jnp.broadcast_to(c, xl.shape) for c in wzeta_dev)))
 
-    L = ge.zeros(xl.shape)
+    # γ powers for every opened polynomial, in transcript order
+    n_polys = 2 * W + K + chunks
+    g_pows = []
     g_pow = ext_py.ONE
-
-    def accumulate(L, g_pow, col_l, col_h, opened, inv_den):
-        diff = ge.sub((col_l, col_h, jnp.zeros_like(col_l),
-                       jnp.zeros_like(col_h)),
-                      tuple(jnp.broadcast_to(c, col_l.shape)
-                            for c in _ext_from_pair(opened)))
-        term = ge.mul(diff, inv_den)
-        term = ge.mul(term, tuple(jnp.broadcast_to(c, col_l.shape)
-                                  for c in _ext_from_pair(g_pow)))
-        return ge.add(L, term)
-
-    for j in range(W):
-        L = accumulate(L, g_pow, tr_lde_l[j], tr_lde_h[j],
-                       trace_at_zeta[j], inv_x_zeta)
+    for _ in range(n_polys):
+        g_pows.append(g_pow)
         g_pow = ext_py.mul(g_pow, gamma)
-    for j in range(W):
-        L = accumulate(L, g_pow, tr_lde_l[j], tr_lde_h[j],
-                       trace_at_zeta_next[j], inv_x_wzeta)
-        g_pow = ext_py.mul(g_pow, gamma)
-    for k in range(K):
+
+    def _weights(pairs):
+        import numpy as _np
+
+        return ge.from_pair_u64(
+            _np.array([p[0] for p in pairs], dtype=_np.uint64),
+            _np.array([p[1] for p in pairs], dtype=_np.uint64))
+
+    def dotc(gps, opened):
+        c = ext_py.ZERO
+        for gp, y in zip(gps, opened):
+            c = ext_py.add(c, ext_py.mul(gp, y))
+        return c
+
+    def base_group(cols_l, cols_h, weights, scalar_sum, inv_den):
+        """Σ_j γ_j (P_j(x) − y_j) · inv_den for base-field columns, by
+        linearity: ONE weighted column-sum instead of per-column passes."""
+        w0l, w0h, w1l, w1h = weights
+        s0 = _sum_rows(*gl.mul(cols_l, cols_h, w0l[:, None], w0h[:, None]))
+        s1 = _sum_rows(*gl.mul(cols_l, cols_h, w1l[:, None], w1h[:, None]))
+        diff = ge.sub((*s0, *s1), tuple(
+            jnp.broadcast_to(v, s0[0].shape)
+            for v in _ext_from_pair(scalar_sum)))
+        return ge.mul(diff, inv_den)
+
+    L = ge.zeros(xl.shape)
+    L = ge.add(L, base_group(tr_lde_l, tr_lde_h, _weights(g_pows[:W]),
+                             dotc(g_pows[:W], trace_at_zeta), inv_x_zeta))
+    L = ge.add(L, base_group(tr_lde_l, tr_lde_h, _weights(g_pows[W:2 * W]),
+                             dotc(g_pows[W:2 * W], trace_at_zeta_next),
+                             inv_x_wzeta))
+    if K:
         cll, clh = const_lde
-        L = accumulate(L, g_pow, cll[k], clh[k], constants_at_zeta[k],
-                       inv_x_zeta)
-        g_pow = ext_py.mul(g_pow, gamma)
-    for k in range(chunks):
-        # Q_k columns are stored as two base columns; Q_k(x) = c0(x) + X·c1(x)
-        qk = (q_lde_l[2 * k], q_lde_h[2 * k],
-              q_lde_l[2 * k + 1], q_lde_h[2 * k + 1])
-        diff = ge.sub(qk, tuple(jnp.broadcast_to(c, xl.shape)
-                                for c in _ext_from_pair(quotient_at_zeta[k])))
-        term = ge.mul(diff, inv_x_zeta)
-        term = ge.mul(term, tuple(jnp.broadcast_to(c, xl.shape)
-                                  for c in _ext_from_pair(g_pow)))
-        L = ge.add(L, term)
-        g_pow = ext_py.mul(g_pow, gamma)
+        L = ge.add(L, base_group(cll, clh,
+                                 _weights(g_pows[2 * W:2 * W + K]),
+                                 dotc(g_pows[2 * W:2 * W + K],
+                                      constants_at_zeta), inv_x_zeta))
+    # quotient chunks (extension-valued columns)
+    qg = g_pows[2 * W + K:]
+    qw = _weights(qg)
+    qc0l, qc0h = q_lde_l[0::2], q_lde_h[0::2]     # (chunks, N) c0 parts
+    qc1l, qc1h = q_lde_l[1::2], q_lde_h[1::2]     # (chunks, N) c1 parts
+    # ext·ext product components: (a0b0 + 7·a1b1, a0b1 + a1b0)
+    t00 = gl.mul(qc0l, qc0h, qw[0][:, None], qw[1][:, None])
+    t11 = gl.mul(qc1l, qc1h, qw[2][:, None], qw[3][:, None])
+    t01 = gl.mul(qc1l, qc1h, qw[0][:, None], qw[1][:, None])
+    t10 = gl.mul(qc0l, qc0h, qw[2][:, None], qw[3][:, None])
+    s_c0 = _sum_rows(*gl.add(*t00, *gl.mul_small(*t11, ge.W)))
+    s_c1 = _sum_rows(*gl.add(*t01, *t10))
+    qc = ext_py.ZERO
+    for gp, y in zip(qg, quotient_at_zeta):
+        qc = ext_py.add(qc, ext_py.mul(gp, y))
+    qdiff = ge.sub((*s_c0, *s_c1), tuple(
+        jnp.broadcast_to(v, s_c0[0].shape) for v in _ext_from_pair(qc)))
+    L = ge.add(L, ge.mul(qdiff, inv_x_zeta))
 
     # ---- FRI --------------------------------------------------------------
     fri_proof, layers, codewords = fri_prove(L, log_N, gl.GENERATOR,
