@@ -28,8 +28,8 @@ def test_poseidon_proof_rejects_wrong_output():
     air = PoseidonAir(state)
     proof = prove(air, air.build_trace(), CFG)
     bad = PoseidonAir(state)
-    bad.output_state = list(bad.output_state)
-    bad.output_state[0] = (bad.output_state[0] + 1) % P
+    bad.outputs = [list(o) for o in bad.outputs]
+    bad.outputs[0][0] = (bad.outputs[0][0] + 1) % P
     assert not verify(bad, proof, CFG)
 
 
@@ -49,3 +49,20 @@ def test_poseidon_proof_rejects_tampered_constants_eval():
     a, b = proof.constants_at_zeta[0]
     proof.constants_at_zeta[0] = ((a + 1) % P, b)
     assert not verify(air, proof, CFG)
+
+
+def test_poseidon_batch_proof():
+    """Four independent permutations proven in one 128-row trace."""
+    states = [[int(x) for x in RNG.integers(0, P, size=12, dtype=np.uint64)]
+              for _ in range(4)]
+    air = PoseidonAir(states)
+    assert air.num_perms == 4 and air.n == 128
+    for s, o in zip(states, air.outputs):
+        assert o == poseidon_py.permute(s)
+    proof = prove(air, air.build_trace(), CFG)
+    assert verify(air, proof, CFG)
+    # wrong output for the third permutation must fail
+    bad = PoseidonAir(states)
+    bad.outputs = [list(o) for o in bad.outputs]
+    bad.outputs[2][5] = (bad.outputs[2][5] + 1) % P
+    assert not verify(bad, proof, CFG)

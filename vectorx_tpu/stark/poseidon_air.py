@@ -33,36 +33,73 @@ HALF = pv.FULL_ROUNDS // 2
 
 
 class PoseidonAir(Air):
-    def __init__(self, input_state: list[int]):
-        super().__init__(width=WIDTH, log_n=5, constraint_degree=8)
-        assert len(input_state) == WIDTH
-        self.input_state = [x % P for x in input_state]
-        self.output_state = poseidon_py.permute(self.input_state)
+    """One or many independent permutations in a single trace.
+
+    Each permutation occupies a 32-row slot; row 31 of a slot has all
+    selectors zero, so the transition into the next slot is unconstrained
+    ("free" row) and slots stay independent.  Batching k permutations
+    amortizes the proof over 32k rows — the building block for proving
+    whole Merkle levels / sponge absorptions in one proof.
+    """
+
+    def __init__(self, input_state: list[int] | list[list[int]]):
+        if input_state and isinstance(input_state[0], (list, tuple)):
+            inputs = [list(s) for s in input_state]
+        else:
+            inputs = [list(input_state)]
+        k = len(inputs)
+        log_n = max(5, (ROWS * k - 1).bit_length())
+        super().__init__(width=WIDTH, log_n=log_n, constraint_degree=8)
+        assert all(len(s) == WIDTH for s in inputs)
+        self.inputs = [[x % P for x in s] for s in inputs]
+        self.outputs = [poseidon_py.permute(s) for s in self.inputs]
+        # backwards-compatible single-permutation accessors
+        self.input_state = self.inputs[0]
+        self.output_state = self.outputs[0]
         self._rc = pv._OVERRIDE["rc"] or pv._generated_round_constants()
         self._mds = pv._OVERRIDE["mds"] or pv._generated_mds()
+
+    @property
+    def num_perms(self) -> int:
+        return len(self.inputs)
 
     # -- public interface ---------------------------------------------------
 
     def public_inputs(self):
-        return [*self.input_state, *self.output_state]
+        out = []
+        for s in self.inputs:
+            out.extend(s)
+        for s in self.outputs:
+            out.extend(s)
+        return out
 
     def constant_columns(self):
-        cols = np.zeros((WIDTH + 3, ROWS), dtype=np.uint64)
-        for r in range(pv.N_ROUNDS):
-            for j in range(WIDTH):
-                cols[j, r] = self._rc[r * WIDTH + j]
-        for r in range(ROWS):
-            if r < HALF or pv.N_ROUNDS - HALF <= r < pv.N_ROUNDS:
-                cols[WIDTH + 0, r] = 1      # sel_full
-            elif r < pv.N_ROUNDS:
-                cols[WIDTH + 1, r] = 1      # sel_partial
-            else:
-                cols[WIDTH + 2, r] = 1      # sel_noop
+        cols = np.zeros((WIDTH + 3, self.n), dtype=np.uint64)
+        for slot in range(self.num_perms):
+            base = slot * ROWS
+            for r in range(pv.N_ROUNDS):
+                for j in range(WIDTH):
+                    cols[j, base + r] = self._rc[r * WIDTH + j]
+            for r in range(ROWS):
+                if r < HALF or pv.N_ROUNDS - HALF <= r < pv.N_ROUNDS:
+                    cols[WIDTH + 0, base + r] = 1      # sel_full
+                elif r < pv.N_ROUNDS:
+                    cols[WIDTH + 1, base + r] = 1      # sel_partial
+                elif r == pv.N_ROUNDS:
+                    cols[WIDTH + 2, base + r] = 1      # sel_noop (row 30)
+                # row 31: all selectors zero — free transition to next slot
+        # padding rows past the last slot: free (all-zero selectors)
         return cols
 
     def boundaries(self, public):
-        out = [(0, j, public[j]) for j in range(WIDTH)]
-        out += [(pv.N_ROUNDS, j, public[WIDTH + j]) for j in range(WIDTH)]
+        out = []
+        for slot in range(self.num_perms):
+            base = slot * ROWS
+            inp_off = slot * WIDTH
+            out_off = (self.num_perms + slot) * WIDTH
+            out += [(base, j, public[inp_off + j]) for j in range(WIDTH)]
+            out += [(base + pv.N_ROUNDS, j, public[out_off + j])
+                    for j in range(WIDTH)]
         return out
 
     def transition(self, alg, local, nxt, public, consts=None):
@@ -100,26 +137,31 @@ class PoseidonAir(Air):
     # -- witness ------------------------------------------------------------
 
     def build_trace(self) -> np.ndarray:
-        """(12, 32) states entering each round, with the scalar-oracle round
-        structure (hash/poseidon_py.py)."""
+        """(12, n) states entering each round, slot per permutation, with
+        the scalar-oracle round structure (hash/poseidon_py.py)."""
         rc, mds = self._rc, self._mds
-        s = list(self.input_state)
-        states = [list(s)]
 
         def mds_layer(s):
             return [sum(mds[i][j] * s[j] for j in range(WIDTH)) % P
                     for i in range(WIDTH)]
 
-        for r in range(pv.N_ROUNDS):
-            s = [(x + rc[r * WIDTH + i]) % P for i, x in enumerate(s)]
-            if HALF <= r < pv.N_ROUNDS - HALF:
-                s[0] = pow(s[0], pv.ALPHA, P)
-            else:
-                s = [pow(x, pv.ALPHA, P) for x in s]
-            s = mds_layer(s)
-            states.append(list(s))
-        assert s == self.output_state
-        states.append(list(s))  # noop row 31
-        trace = np.array(states, dtype=np.uint64).T  # (12, 32)
-        assert trace.shape == (WIDTH, ROWS)
+        all_states = []
+        for slot, inp in enumerate(self.inputs):
+            s = list(inp)
+            states = [list(s)]
+            for r in range(pv.N_ROUNDS):
+                s = [(x + rc[r * WIDTH + i]) % P for i, x in enumerate(s)]
+                if HALF <= r < pv.N_ROUNDS - HALF:
+                    s[0] = pow(s[0], pv.ALPHA, P)
+                else:
+                    s = [pow(x, pv.ALPHA, P) for x in s]
+                s = mds_layer(s)
+                states.append(list(s))
+            assert s == self.outputs[slot]
+            states.append(list(s))  # noop row 31
+            all_states.extend(states)
+        while len(all_states) < self.n:
+            all_states.append([0] * WIDTH)  # free padding rows
+        trace = np.array(all_states, dtype=np.uint64).T
+        assert trace.shape == (WIDTH, self.n)
         return trace
