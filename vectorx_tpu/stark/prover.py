@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,24 +114,27 @@ def _sum_rows(lo, hi):
     return lo[0], hi[0]
 
 
-def ext_power_table_host(zeta, count):
-    """[ζ^0 .. ζ^(count-1)] as two numpy uint64 arrays (c0s, c1s)."""
-    c0s = np.empty(count, dtype=np.uint64)
-    c1s = np.empty(count, dtype=np.uint64)
-    cur = ext_py.ONE
-    for i in range(count):
-        c0s[i], c1s[i] = cur
-        cur = ext_py.mul(cur, zeta)
-    return c0s, c1s
+def ext_power_table_dev(zeta, count):
+    """[ζ^0 .. ζ^(count-1)] as a device ext array, by doubling:
+    P_{2k} = P_k ++ P_k·ζ^k (log₂(count) device passes; the ζ^(2^i) seeds
+    are scalar host muls)."""
+    tab = ge.from_pair_u64(np.array([1], dtype=np.uint64),
+                           np.array([0], dtype=np.uint64))
+    cur = zeta  # ζ^(len(tab)) as the table doubles
+    while tab[0].shape[0] < count:
+        f = _ext_from_pair(cur)
+        shifted = ge.mul(tab, tuple(jnp.broadcast_to(c, tab[0].shape)
+                                    for c in f))
+        tab = tuple(jnp.concatenate([a, b]) for a, b in zip(tab, shifted))
+        cur = ext_py.mul(cur, cur)
+    return tuple(a[:count] for a in tab)
 
 
 def eval_base_polys_at_ext(coeff_lo, coeff_hi, zeta):
     """Evaluate base-field polynomials (W, n) at an extension point ζ.
     Returns W (c0, c1) int pairs.  Device dot against a ζ-power table."""
     n = coeff_lo.shape[-1]
-    z0, z1 = ext_power_table_host(zeta, n)
-    z0l, z0h = gl.from_u64(z0)
-    z1l, z1h = gl.from_u64(z1)
+    z0l, z0h, z1l, z1h = ext_power_table_dev(zeta, n)
 
     def dot(tl, th):
         pl, ph = gl.mul(coeff_lo, coeff_hi, tl, th)
@@ -216,6 +220,9 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     if K:
         cll, clh = const_lde
         consts_dev = [(cll[k], clh[k]) for k in range(K)]
+
+    # NOTE: kept eager — jitting the whole constraint graph re-triggers the
+    # XLA:CPU super-linear compile blowup on wide AIRs (Poseidon: ~25k ops)
     transition_vals = air.transition(DeviceAlgebra, local, nxt, public,
                                      consts_dev)
 
@@ -227,12 +234,23 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     xml, xmh = gl.sub(xl, xh, jnp.uint32(x_last & 0xFFFFFFFF),
                       jnp.uint32(x_last >> 32))
 
-    acc = ge.zeros(xl.shape)
+    # α-weighted transition combination, by linearity in one stacked pass:
+    # acc = Σ_i α^i · T_i(x) · (x − x_last)
+    n_trans = len(transition_vals)
+    a_pows_t = []
     a_pow = ext_py.ONE
-    for t in transition_vals:
-        cl, ch = gl.mul(t[0], t[1], xml, xmh)
-        acc = ge.add(acc, _ext_scale_base(_ext_from_pair(a_pow), cl, ch))
+    for _ in range(n_trans):
+        a_pows_t.append(a_pow)
         a_pow = ext_py.mul(a_pow, alpha)
+    tw = ge.from_pair_u64(
+        np.array([p[0] for p in a_pows_t], dtype=np.uint64),
+        np.array([p[1] for p in a_pows_t], dtype=np.uint64))
+    tsl = jnp.stack([t[0] for t in transition_vals])
+    tsh = jnp.stack([t[1] for t in transition_vals])
+    tsl, tsh = gl.mul(tsl, tsh, xml[None, :], xmh[None, :])
+    acc0 = _sum_rows(*gl.mul(tsl, tsh, tw[0][:, None], tw[1][:, None]))
+    acc1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][:, None], tw[3][:, None]))
+    acc = (*acc0, *acc1)
     boundaries = air.boundaries(public)
     if boundaries:
         # all boundary terms batched: (B, N) stacked rows, ONE batched
