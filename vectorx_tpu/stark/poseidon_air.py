@@ -103,6 +103,10 @@ class PoseidonAir(Air):
         return out
 
     def transition(self, alg, local, nxt, public, consts=None):
+        from vectorx_tpu.stark.air import DeviceAlgebra
+
+        if alg is DeviceAlgebra:
+            return self._transition_device(local, nxt, consts)
         rc = consts[:WIDTH]
         sel_full, sel_partial, sel_noop = consts[WIDTH:WIDTH + 3]
 
@@ -133,6 +137,58 @@ class PoseidonAir(Air):
             c = alg.add(c, alg.mul(sel_noop, noop_err))
             out.append(c)
         return out
+
+    def _transition_device(self, local, nxt, consts):
+        """Same constraints as the scalar path, but stacked: the MDS matvec
+        runs as one broadcast (12, 12, N) pass instead of 144 dispatches."""
+        import jax.numpy as jnp
+
+        from vectorx_tpu.field import goldilocks as gl
+
+        ll = jnp.stack([c[0] for c in local])       # (12, N)
+        lh = jnp.stack([c[1] for c in local])
+        xl = jnp.stack([c[0] for c in nxt])
+        xh = jnp.stack([c[1] for c in nxt])
+        rl = jnp.stack([c[0] for c in consts[:WIDTH]])
+        rh = jnp.stack([c[1] for c in consts[:WIDTH]])
+        (sfl, sfh), (spl, sph), (snl, snh) = consts[WIDTH:WIDTH + 3]
+        mds = np.array(self._mds, dtype=np.uint64)
+        ml = (mds & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        mh = (mds >> np.uint64(32)).astype(np.uint32)
+
+        ul, uh = gl.add(ll, lh, rl, rh)
+        s2 = gl.mul(ul, uh, ul, uh)
+        s4 = gl.mul(*s2, *s2)
+        s6 = gl.mul(*s4, *s2)
+        u7l, u7h = gl.mul(*s6, ul, uh)
+        vl = jnp.concatenate([u7l[:1], ul[1:]])
+        vh = jnp.concatenate([u7h[:1], uh[1:]])
+
+        def mds_mat(al, ah):
+            # out[i] = Σ_j M[i][j]·a[j]: (12_out, 12_in, N) products
+            pl, ph = gl.mul(al[None, :, :], ah[None, :, :],
+                            ml[:, :, None], mh[:, :, None])
+            while pl.shape[1] > 1:
+                half = pl.shape[1] // 2
+                sl_, sh_ = gl.add(pl[:, :half], ph[:, :half],
+                                  pl[:, half:2 * half], ph[:, half:2 * half])
+                if pl.shape[1] % 2:
+                    sl_ = jnp.concatenate([sl_, pl[:, -1:]], axis=1)
+                    sh_ = jnp.concatenate([sh_, ph[:, -1:]], axis=1)
+                pl, ph = sl_, sh_
+            return pl[:, 0], ph[:, 0]
+
+        mfl, mfh = mds_mat(u7l, u7h)
+        mpl, mph = mds_mat(vl, vh)
+        fel, feh = gl.sub(xl, xh, mfl, mfh)
+        pel, peh = gl.sub(xl, xh, mpl, mph)
+        nel, neh = gl.sub(xl, xh, ll, lh)
+        tl, th = gl.mul(fel, feh, sfl[None, :], sfh[None, :])
+        t2 = gl.mul(pel, peh, spl[None, :], sph[None, :])
+        t3 = gl.mul(nel, neh, snl[None, :], snh[None, :])
+        tl, th = gl.add(tl, th, *t2)
+        tl, th = gl.add(tl, th, *t3)
+        return [(tl[i], th[i]) for i in range(WIDTH)]
 
     # -- witness ------------------------------------------------------------
 
