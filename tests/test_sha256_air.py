@@ -1,0 +1,58 @@
+"""SHA-256 compression AIR: digest oracle vs hashlib, constraint
+satisfaction on the real trace, and ZK prove+verify."""
+
+import hashlib
+
+import numpy as np
+
+from vectorx_tpu.fri.fri import FriConfig
+from vectorx_tpu.stark import StarkConfig, prove, verify
+from vectorx_tpu.stark.air import ExtAlgebra
+from vectorx_tpu.stark.sha256_air import Sha256CompressAir
+
+CFG = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=0, num_queries=12,
+                                final_poly_len=4, pow_bits=0))
+
+
+def pad_single(msg: bytes) -> bytes:
+    assert len(msg) <= 55
+    return (msg + b"\x80" + b"\x00" * (55 - len(msg))
+            + (len(msg) * 8).to_bytes(8, "big"))
+
+
+def test_digest_matches_hashlib():
+    for msg in (b"", b"abc", b"a" * 55, bytes(range(48))):
+        air = Sha256CompressAir(pad_single(msg))
+        got = b"".join(int.to_bytes(x, 4, "big") for x in air.digest)
+        assert got == hashlib.sha256(msg).digest(), msg
+
+
+def test_constraints_satisfied_on_trace():
+    air = Sha256CompressAir(pad_single(b"vectorx"))
+    tr = air.build_trace()
+    cc = air.constant_columns()
+    pub = air.public_inputs()
+    rng = np.random.default_rng(0)
+    rows = sorted({0, 15, 16, 40, 62, 63, 64, 100,
+                   *(int(r) for r in rng.integers(0, 127, size=8))})
+    for r in rows:
+        local = [(int(tr[j, r]), 0) for j in range(tr.shape[0])]
+        nxt = [(int(tr[j, r + 1]), 0) for j in range(tr.shape[0])]
+        consts = [(int(cc[k, r]), 0) for k in range(cc.shape[0])]
+        vals = air.transition(ExtAlgebra, local, nxt, pub, consts)
+        assert all(v == (0, 0) for v in vals), f"row {r}"
+    # boundaries consistent with the witness
+    for (r, c, v) in air.boundaries(pub):
+        assert int(tr[c, r]) == v
+
+
+def test_sha256_zk_proof_roundtrip_and_tamper():
+    air = Sha256CompressAir(pad_single(b"abc"))
+    proof = prove(air, air.build_trace(), CFG)
+    assert verify(air, proof, CFG)
+    bad = Sha256CompressAir(pad_single(b"abc"))
+    bad.digest = list(bad.digest)
+    bad.digest[0] ^= 1
+    assert not verify(bad, proof, CFG)
+    bad2 = Sha256CompressAir(pad_single(b"abd"))
+    assert not verify(bad2, proof, CFG)
