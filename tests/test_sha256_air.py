@@ -56,3 +56,37 @@ def test_sha256_zk_proof_roundtrip_and_tamper():
     assert not verify(bad, proof, CFG)
     bad2 = Sha256CompressAir(pad_single(b"abd"))
     assert not verify(bad2, proof, CFG)
+
+
+def test_multiblock_digest_matches_hashlib():
+    from vectorx_tpu.stark.sha256_air import Sha256Air
+
+    for msg in (b"", b"abc", b"x" * 64, b"y" * 100, bytes(range(150))):
+        air = Sha256Air(msg)
+        assert air.digest_bytes() == hashlib.sha256(msg).digest(), len(msg)
+
+
+def test_statement_constructor_is_hash_free():
+    from vectorx_tpu.stark.sha256_air import Sha256Air
+
+    claimed = b"\xab" * 32
+    air = Sha256Air.statement(b"hello world", claimed)
+    assert air.digest_bytes() == claimed  # takes the claim verbatim
+    assert air.public_inputs()[-8:] == [int.from_bytes(claimed[4*i:4*i+4],
+                                                       "big")
+                                        for i in range(8)]
+
+
+def test_zk_authority_commitment_single_key():
+    from vectorx_tpu.circuits.zk_commitment import (
+        prove_authority_commitment, verify_authority_commitment)
+    from vectorx_tpu.hash.sha256 import chained_hash
+
+    pubkeys = [b"\x05" * 32]
+    proof = prove_authority_commitment(pubkeys, CFG)
+    assert verify_authority_commitment(proof, CFG)
+    assert proof.commitment == chained_hash(pubkeys)
+    # wrong claimed digest
+    proof.step_digests = [b"\x00" * 32]
+    proof.commitment = b"\x00" * 32
+    assert not verify_authority_commitment(proof, CFG)

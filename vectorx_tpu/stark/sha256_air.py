@@ -1,38 +1,39 @@
-"""SHA-256 compression-function AIR: proves digest = SHA256Compress(IV, block).
+"""SHA-256 AIR: proves digest = SHA256(message) for multi-block messages.
 
 The TPU-native counterpart of the reference's curta SHA-256 STARK gadget
 (`curta_sha256`, /root/reference/circuits/builder/justification.rs:140,156 —
 SURVEY.md §2 E3): the authority-set chained commitment and the data-root
-Merkle interior nodes are chains of exactly this compression.
+Merkle interior nodes are exactly chains of this hash.
 
-Arithmetization (one round per row, 64 rounds + post-state row):
+Arithmetization — one round per row, 65-row section per 64-byte block:
 
-* working variables a,b,c and e,f,g live as 32 bit-columns each (rotations
-  are free bit reindexings; Ch/Maj/Σ are degree ≤ 3 bit polynomials);
-  d and h only ever feed modular adds, so they stay as word columns;
+* section s occupies rows [65s, 65s+64]: 64 round rows + a post-state row
+  that doubles as the chain handoff into the next section;
+* working variables a,b,c and e,f,g are 32 bit-columns each (rotations are
+  free bit reindexings; Ch/Maj/Σ/σ are degree ≤ 3 bit polynomials); d and h
+  only feed modular adds, so they stay word columns;
+* the chaining value h0..h7 lives in 8 word columns, copy-constrained
+  within a section; the handoff row adds the section's final working state
+  (feed-forward, with 1-bit carries) and the next section-start row loads
+  the working state from it;
 * the message schedule is a 17-slot sliding window of word columns with
-  per-row shift constraints; slots 2 and 15 carry bit views for σ1/σ0;
-* every mod-2^32 addition gets small carry-bit columns
-  (Σ bits·2^i + carry·2^32 = expression);
-* round selectors / schedule selectors / K round constants are
-  preprocessed columns (the committed verification key).
+  bit views of slots 2 and 15 for σ1/σ0;
+* every mod-2^32 addition carries small carry-bit columns;
+* K round constants and the 8 row-role selectors are preprocessed columns
+  (the committed verification key).
 
-Public inputs: 16 message words + 8 digest words.  The verifier derives the
-row-64 boundary values as (digest_i − IV_i) mod 2^32, binding the digest to
-the final working state.
+Public inputs: 16·k message words + 8 digest words.  The digest is pinned
+by a boundary on the chain columns one row past the last handoff.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
-from vectorx_tpu.field.goldilocks import P
 from vectorx_tpu.stark.air import Air
 
 ROUNDS = 64
-N_ROWS = 128  # 64 rounds + post-state row 64 + free padding
+SECTION = 65  # 64 round rows + post-state/handoff row
 
 _K = [
     0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
@@ -51,12 +52,19 @@ _IV = [0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
        0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19]
 
 
+def sha256_pad(msg: bytes) -> bytes:
+    """Standard SHA-256 padding to a whole number of 64-byte blocks."""
+    bitlen = len(msg) * 8
+    out = msg + b"\x80"
+    out += b"\x00" * ((56 - len(out) % 64) % 64)
+    return out + bitlen.to_bytes(8, "big")
+
+
 # ---------------------------------------------------------------------------
 # column layout
 # ---------------------------------------------------------------------------
 
 def _layout():
-    """Column name -> index.  Bit families are 32 consecutive columns."""
     names = []
     for fam in ("A", "B", "C", "E", "F", "G"):
         names += [f"{fam}{i}" for i in range(32)]
@@ -67,14 +75,16 @@ def _layout():
     names += [f"CA{i}" for i in range(3)]
     names += [f"CE{i}" for i in range(3)]
     names += [f"CW{i}" for i in range(2)]
+    names += [f"H{i}" for i in range(8)]      # chaining value
+    names += [f"CH{i}" for i in range(8)]     # feed-forward carry bits
     return {n: i for i, n in enumerate(names)}
 
 _COLS = _layout()
 WIDTH = len(_COLS)
 
-# constant columns
 _CONST = {"K": 0, "sel_round": 1, "sel_schedule": 2, "sel_shift": 3,
-          "sel_state": 4, "sel_wbits": 5}
+          "sel_state": 4, "sel_wbits": 5, "sel_handoff": 6,
+          "sel_secstart": 7, "sel_hcopy": 8}
 N_CONST = len(_CONST)
 
 
@@ -83,42 +93,25 @@ def _fam(cols, fam):
     return cols[base:base + 32]
 
 
-class Sha256CompressAir(Air):
-    """Single-block SHA-256 compression with the standard IV.
+class Sha256Air(Air):
+    """Full SHA-256 of a message (any number of 64-byte blocks)."""
 
-    `message_block` is the 64-byte block (already padded by the caller —
-    this AIR proves the compression; multi-block hashing chains it)."""
+    def __init__(self, message: bytes):
+        self.message = message
+        padded = sha256_pad(message)
+        self.blocks = [padded[i:i + 64] for i in range(0, len(padded), 64)]
+        k = len(self.blocks)
+        log_n = max(7, (SECTION * k).bit_length())  # 2^log_n ≥ 65k + 1
+        super().__init__(width=WIDTH, log_n=log_n, constraint_degree=4)
+        self.msg_words = [int.from_bytes(b[4 * i:4 * i + 4], "big")
+                          for b in self.blocks for i in range(16)]
+        self._run()
 
-    def __init__(self, message_block: bytes):
-        super().__init__(width=WIDTH, log_n=7, constraint_degree=4)
-        assert len(message_block) == 64
-        self.block = message_block
-        self.msg_words = [int.from_bytes(message_block[4 * i:4 * i + 4],
-                                         "big") for i in range(16)]
-        self.digest = self._compress()
+    @property
+    def num_blocks(self) -> int:
+        return len(self.blocks)
 
-    def _compress(self) -> list[int]:
-        """Reference compression (also yields the round trace)."""
-        w = list(self.msg_words)
-        for i in range(16, 64):
-            s0 = self._sig0(w[i - 15])
-            s1 = self._sig1(w[i - 2])
-            w.append((w[i - 16] + s0 + w[i - 7] + s1) & 0xFFFFFFFF)
-        self._w = w
-        a, b, c, d, e, f, g, h = _IV
-        self._states = [(a, b, c, d, e, f, g, h)]
-        for r in range(64):
-            S1 = self._rotr(e, 6) ^ self._rotr(e, 11) ^ self._rotr(e, 25)
-            ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
-            t1 = (h + S1 + ch + _K[r] + w[r]) & 0xFFFFFFFF
-            S0 = self._rotr(a, 2) ^ self._rotr(a, 13) ^ self._rotr(a, 22)
-            maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
-            t2 = (S0 + maj) & 0xFFFFFFFF
-            h, g, f, e, d, c, b, a = (g, f, e, (d + t1) & 0xFFFFFFFF,
-                                      c, b, a, (t1 + t2) & 0xFFFFFFFF)
-            self._states.append((a, b, c, d, e, f, g, h))
-        return [(iv + s) & 0xFFFFFFFF
-                for iv, s in zip(_IV, self._states[64])]
+    # -- reference computation (also the witness) ---------------------------
 
     @staticmethod
     def _rotr(x, n):
@@ -130,6 +123,57 @@ class Sha256CompressAir(Air):
     def _sig1(self, x):
         return (self._rotr(x, 17) ^ self._rotr(x, 19) ^ (x >> 10)) & 0xFFFFFFFF
 
+    def _run(self):
+        h = list(_IV)
+        self._chains = [list(h)]       # chain value entering each section
+        self._section_w = []
+        self._section_states = []
+        for blk in self.blocks:
+            w = [int.from_bytes(blk[4 * i:4 * i + 4], "big")
+                 for i in range(16)]
+            for i in range(16, 64):
+                w.append((w[i - 16] + self._sig0(w[i - 15]) + w[i - 7]
+                          + self._sig1(w[i - 2])) & 0xFFFFFFFF)
+            self._section_w.append(w)
+            a, b, c, d, e, f, g, hh = h
+            states = [(a, b, c, d, e, f, g, hh)]
+            for r in range(64):
+                S1 = self._rotr(e, 6) ^ self._rotr(e, 11) ^ self._rotr(e, 25)
+                ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
+                t1 = (hh + S1 + ch + _K[r] + w[r]) & 0xFFFFFFFF
+                S0 = self._rotr(a, 2) ^ self._rotr(a, 13) ^ self._rotr(a, 22)
+                maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
+                t2 = (S0 + maj) & 0xFFFFFFFF
+                hh, g, f, e, d, c, b, a = (g, f, e, (d + t1) & 0xFFFFFFFF,
+                                           c, b, a, (t1 + t2) & 0xFFFFFFFF)
+                states.append((a, b, c, d, e, f, g, hh))
+            self._section_states.append(states)
+            h = [(hv + sv) & 0xFFFFFFFF for hv, sv in zip(h, states[64])]
+            self._chains.append(list(h))
+        self.digest = list(h)
+
+    def digest_bytes(self) -> bytes:
+        return b"".join(int.to_bytes(x, 4, "big") for x in self.digest)
+
+    @classmethod
+    def statement(cls, message: bytes, claimed_digest: bytes) -> "Sha256Air":
+        """Verifier-side construction: the STATEMENT (message + claimed
+        digest) without computing the hash — verification must not need to
+        re-hash, only to check the proof against these publics."""
+        self = object.__new__(cls)
+        self.message = message
+        padded = sha256_pad(message)
+        self.blocks = [padded[i:i + 64] for i in range(0, len(padded), 64)]
+        k = len(self.blocks)
+        log_n = max(7, (SECTION * k).bit_length())
+        Air.__init__(self, width=WIDTH, log_n=log_n, constraint_degree=4)
+        self.msg_words = [int.from_bytes(b[4 * i:4 * i + 4], "big")
+                          for b in self.blocks for i in range(16)]
+        assert len(claimed_digest) == 32
+        self.digest = [int.from_bytes(claimed_digest[4 * i:4 * i + 4], "big")
+                       for i in range(8)]
+        return self
+
     # -- AIR interface ------------------------------------------------------
 
     def public_inputs(self):
@@ -137,43 +181,41 @@ class Sha256CompressAir(Air):
 
     def constant_columns(self):
         cols = np.zeros((N_CONST, self.n), dtype=np.uint64)
-        for r in range(64):
-            cols[_CONST["K"], r] = _K[r]
-            cols[_CONST["sel_round"], r] = 1
-            if r >= 16:
-                cols[_CONST["sel_schedule"], r] = 1
-                cols[_CONST["sel_wbits"], r] = 1
-        for r in range(63):
-            cols[_CONST["sel_shift"], r] = 1
-        for r in range(65):
-            cols[_CONST["sel_state"], r] = 1
+        for s in range(self.num_blocks):
+            base = s * SECTION
+            for r in range(64):
+                cols[_CONST["K"], base + r] = _K[r]
+                cols[_CONST["sel_round"], base + r] = 1
+                if r >= 16:
+                    cols[_CONST["sel_schedule"], base + r] = 1
+                    cols[_CONST["sel_wbits"], base + r] = 1
+            for r in range(63):
+                cols[_CONST["sel_shift"], base + r] = 1
+            for r in range(65):
+                cols[_CONST["sel_state"], base + r] = 1
+            cols[_CONST["sel_handoff"], base + 64] = 1
+            cols[_CONST["sel_secstart"], base] = 1
+            # H constant within the section (rows base..base+63)
+            for r in range(64):
+                cols[_CONST["sel_hcopy"], base + r] = 1
         return cols
 
     def boundaries(self, public):
-        msg = public[:16]
-        digest = public[16:24]
-        final = [(d - iv) % (1 << 32) for d, iv in zip(digest, _IV)]
+        k = self.num_blocks
+        msg = public[:16 * k]
+        digest = public[16 * k:16 * k + 8]
         out = []
-
-        def bits_of(fam, row, value):
-            return [(row, _COLS[f"{fam}{i}"], (value >> i) & 1)
-                    for i in range(32)]
-
-        # row 0: initial working state = IV
-        a, b, c, d, e, f, g, h = _IV
-        out += bits_of("A", 0, a) + bits_of("B", 0, b) + bits_of("C", 0, c)
-        out += [(0, _COLS["Dw"], d)]
-        out += bits_of("E", 0, e) + bits_of("F", 0, f) + bits_of("G", 0, g)
-        out += [(0, _COLS["Hw"], h)]
-        # rows 0..15: schedule window slot 0 = message words
-        for r in range(16):
-            out.append((r, _COLS["W0"], msg[r]))
-        # row 64: final working state = digest − IV
-        a, b, c, d, e, f, g, h = final
-        out += bits_of("A", 64, a) + bits_of("B", 64, b) + bits_of("C", 64, c)
-        out += [(64, _COLS["Dw"], d)]
-        out += bits_of("E", 64, e) + bits_of("F", 64, f) + bits_of("G", 64, g)
-        out += [(64, _COLS["Hw"], h)]
+        # chain starts at the standard IV
+        for i in range(8):
+            out.append((0, _COLS[f"H{i}"], _IV[i]))
+        # message words: W0 at rows 65s .. 65s+15
+        for s in range(k):
+            for r in range(16):
+                out.append((s * SECTION + r, _COLS["W0"], msg[16 * s + r]))
+        # digest: chain columns one row past the last handoff
+        final_row = k * SECTION
+        for i in range(8):
+            out.append((final_row, _COLS[f"H{i}"], digest[i]))
         return out
 
     def transition(self, alg, local, nxt, public, consts=None):
@@ -185,6 +227,9 @@ class Sha256CompressAir(Air):
         sel_shift = consts[_CONST["sel_shift"]]
         sel_state = consts[_CONST["sel_state"]]
         sel_wbits = consts[_CONST["sel_wbits"]]
+        sel_handoff = consts[_CONST["sel_handoff"]]
+        sel_secstart = consts[_CONST["sel_secstart"]]
+        sel_hcopy = consts[_CONST["sel_hcopy"]]
 
         def gate(sel, expr):
             return alg.mul(sel, expr)
@@ -199,13 +244,8 @@ class Sha256CompressAir(Air):
                 acc = t if acc is None else alg.add(acc, t)
             return acc
 
-        def xor2(x, y):
-            # x + y − 2xy
-            return alg.sub(alg.add(x, y), alg.mul(two, alg.mul(x, y)))
-
         def xor3(x, y, z):
-            # degree-3 expansion (xor2∘xor2 would be degree 4):
-            # x+y+z − 2(xy+yz+zx) + 4xyz
+            # degree-3 expansion: x+y+z − 2(xy+yz+zx) + 4xyz
             s = alg.add(alg.add(x, y), z)
             p = alg.add(alg.add(alg.mul(x, y), alg.mul(y, z)), alg.mul(z, x))
             xyz = alg.mul(alg.mul(x, y), z)
@@ -225,6 +265,9 @@ class Sha256CompressAir(Air):
         CA = [local[_COLS[f"CA{i}"]] for i in range(3)]
         CE = [local[_COLS[f"CE{i}"]] for i in range(3)]
         CW = [local[_COLS[f"CW{i}"]] for i in range(2)]
+        H = [local[_COLS[f"H{i}"]] for i in range(8)]
+        Hn = [nxt[_COLS[f"H{i}"]] for i in range(8)]
+        CH = [local[_COLS[f"CH{i}"]] for i in range(8)]
 
         out = []
 
@@ -238,8 +281,10 @@ class Sha256CompressAir(Air):
             out.append(boolean(sel_round, b))
         for b in CW:
             out.append(boolean(sel_sched, b))
+        for b in CH:
+            out.append(boolean(sel_handoff, b))
 
-        # --- round function (rows 0..63) -----------------------------------
+        # --- round function ------------------------------------------------
         S1 = word([xor3(E[(i + 6) % 32], E[(i + 11) % 32], E[(i + 25) % 32])
                    for i in range(32)])
         Ch = word([alg.add(alg.mul(E[i], F[i]),
@@ -254,15 +299,11 @@ class Sha256CompressAir(Air):
             for i in range(32)])
         T1 = alg.add(alg.add(alg.add(Hw, S1), alg.add(Ch, k_col)), W[0])
         T2 = alg.add(S0, Maj)
-        carry_a = word(CA)  # value in [0, 8)
-        carry_e = word(CE)
-        # next.a + carry_a·2^32 = T1 + T2
-        lhs_a = alg.add(word(An), alg.mul(alg.constant(1 << 32), carry_a))
+        pow32 = alg.constant(1 << 32)
+        lhs_a = alg.add(word(An), alg.mul(pow32, word(CA)))
         out.append(gate(sel_round, alg.sub(lhs_a, alg.add(T1, T2))))
-        # next.e + carry_e·2^32 = d + T1
-        lhs_e = alg.add(word(En), alg.mul(alg.constant(1 << 32), carry_e))
+        lhs_e = alg.add(word(En), alg.mul(pow32, word(CE)))
         out.append(gate(sel_round, alg.sub(lhs_e, alg.add(Dw, T1))))
-        # rotations of the pipeline: b'=a, c'=b, d'=c, f'=e, g'=f, h'=g
         for i in range(32):
             out.append(gate(sel_round, alg.sub(Bn[i], A[i])))
             out.append(gate(sel_round, alg.sub(Cn[i], B[i])))
@@ -272,13 +313,10 @@ class Sha256CompressAir(Air):
         out.append(gate(sel_round, alg.sub(Hwn, word(G))))
 
         # --- schedule window ----------------------------------------------
-        # shift: next.W[k] = W[k-1] (rows 0..62)
         for k in range(1, 17):
             out.append(gate(sel_shift, alg.sub(Wn[k], W[k - 1])))
-        # bit views: Σ WB2·2^i = W2, Σ WB15·2^i = W15 (rows 16..63)
         out.append(gate(sel_wbits, alg.sub(word(WB2), W[2])))
         out.append(gate(sel_wbits, alg.sub(word(WB15), W[15])))
-        # schedule: W0 + cw·2^32 = σ1(W2) + W7 + σ0(W15) + W16 (rows 16..63)
         zero = alg.constant(0)
         sig1 = word([xor3(WB2[(i + 17) % 32], WB2[(i + 19) % 32],
                           WB2[i + 10] if i + 10 < 32 else zero)
@@ -286,10 +324,24 @@ class Sha256CompressAir(Air):
         sig0 = word([xor3(WB15[(i + 7) % 32], WB15[(i + 18) % 32],
                           WB15[i + 3] if i + 3 < 32 else zero)
                      for i in range(32)])
-        carry_w = word(CW)
-        lhs_w = alg.add(W[0], alg.mul(alg.constant(1 << 32), carry_w))
+        lhs_w = alg.add(W[0], alg.mul(pow32, word(CW)))
         rhs_w = alg.add(alg.add(sig1, W[7]), alg.add(sig0, W[16]))
         out.append(gate(sel_sched, alg.sub(lhs_w, rhs_w)))
+
+        # --- chaining ------------------------------------------------------
+        # H constant inside a section
+        for i in range(8):
+            out.append(gate(sel_hcopy, alg.sub(Hn[i], H[i])))
+        # handoff (post-state row): next.H_i + carry·2^32 = H_i + state_i
+        state_words = [word(A), word(B), word(C), Dw,
+                       word(E), word(F), word(G), Hw]
+        for i in range(8):
+            lhs = alg.add(Hn[i], alg.mul(pow32, CH[i]))
+            out.append(gate(sel_handoff,
+                            alg.sub(lhs, alg.add(H[i], state_words[i]))))
+        # section start: working state loads the chain value
+        for i, sw in enumerate(state_words):
+            out.append(gate(sel_secstart, alg.sub(sw, H[i])))
 
         return out
 
@@ -297,47 +349,74 @@ class Sha256CompressAir(Air):
 
     def build_trace(self) -> np.ndarray:
         tr = np.zeros((WIDTH, self.n), dtype=np.uint64)
-        w = self._w
-        # schedule window + bit views + schedule carries
-        for r in range(self.n):
-            for k in range(17):
-                if r < 64 + 1 and r - k >= 0 and r - k < 64:
-                    tr[_COLS[f"W{k}"], r] = w[r - k]
-        for r in range(16, 64):
-            for i in range(32):
-                tr[_COLS[f"WB2_{i}"], r] = (w[r - 2] >> i) & 1
-                tr[_COLS[f"WB15_{i}"], r] = (w[r - 15] >> i) & 1
-            total = (self._sig1(w[r - 2]) + w[r - 7]
-                     + self._sig0(w[r - 15]) + w[r - 16])
-            cw = total >> 32
-            for i in range(2):
-                tr[_COLS[f"CW{i}"], r] = (cw >> i) & 1
-        # states + round carries
-        for r in range(65):
-            a, b, c, d, e, f, g, h = self._states[r]
-            for fam, val in (("A", a), ("B", b), ("C", c),
-                             ("E", e), ("F", f), ("G", g)):
+        for s in range(self.num_blocks):
+            base = s * SECTION
+            w = self._section_w[s]
+            states = self._section_states[s]
+            chain = self._chains[s]
+            next_chain = self._chains[s + 1]
+            # schedule window
+            for r in range(65):
+                for k in range(17):
+                    if 0 <= r - k < 64:
+                        tr[_COLS[f"W{k}"], base + r] = w[r - k]
+            for r in range(16, 64):
                 for i in range(32):
-                    tr[_COLS[f"{fam}{i}"], r] = (val >> i) & 1
-            tr[_COLS["Dw"], r] = d
-            tr[_COLS["Hw"], r] = h
-        for r in range(64):
-            a, b, c, d, e, f, g, h = self._states[r]
-            S1 = self._rotr(e, 6) ^ self._rotr(e, 11) ^ self._rotr(e, 25)
-            ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
-            t1_full = h + S1 + ch + _K[r] + w[r]
-            S0 = self._rotr(a, 2) ^ self._rotr(a, 13) ^ self._rotr(a, 22)
-            maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
-            t2_full = S0 + maj
-            ca = (t1_full + t2_full) >> 32
-            ce = (d + t1_full) >> 32
-            for i in range(3):
-                tr[_COLS[f"CA{i}"], r] = (ca >> i) & 1
-                tr[_COLS[f"CE{i}"], r] = (ce >> i) & 1
+                    tr[_COLS[f"WB2_{i}"], base + r] = (w[r - 2] >> i) & 1
+                    tr[_COLS[f"WB15_{i}"], base + r] = (w[r - 15] >> i) & 1
+                total = (self._sig1(w[r - 2]) + w[r - 7]
+                         + self._sig0(w[r - 15]) + w[r - 16])
+                for i in range(2):
+                    tr[_COLS[f"CW{i}"], base + r] = ((total >> 32) >> i) & 1
+            # states + carries
+            for r in range(65):
+                a, b, c, d, e, f, g, h = states[r]
+                for fam, val in (("A", a), ("B", b), ("C", c),
+                                 ("E", e), ("F", f), ("G", g)):
+                    for i in range(32):
+                        tr[_COLS[f"{fam}{i}"], base + r] = (val >> i) & 1
+                tr[_COLS["Dw"], base + r] = d
+                tr[_COLS["Hw"], base + r] = h
+            for r in range(64):
+                a, b, c, d, e, f, g, h = states[r]
+                S1 = self._rotr(e, 6) ^ self._rotr(e, 11) ^ self._rotr(e, 25)
+                ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
+                t1f = h + S1 + ch + _K[r] + w[r]
+                S0 = self._rotr(a, 2) ^ self._rotr(a, 13) ^ self._rotr(a, 22)
+                maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
+                ca = (t1f + S0 + maj) >> 32
+                ce = (d + t1f) >> 32
+                for i in range(3):
+                    tr[_COLS[f"CA{i}"], base + r] = (ca >> i) & 1
+                    tr[_COLS[f"CE{i}"], base + r] = (ce >> i) & 1
+            # chain columns + feed-forward carries at the handoff row
+            for r in range(65):
+                for i in range(8):
+                    tr[_COLS[f"H{i}"], base + r] = chain[i]
+            for i in range(8):
+                tr[_COLS[f"CH{i}"], base + 64] = \
+                    (chain[i] + states[64][i]) >> 32
+            # H after handoff (start of next section / final row)
+            if base + SECTION < self.n:
+                for i in range(8):
+                    tr[_COLS[f"H{i}"], base + SECTION] = next_chain[i]
+        # final row chain columns when it IS the end marker
+        final_row = self.num_blocks * SECTION
+        if final_row < self.n:
+            for i in range(8):
+                tr[_COLS[f"H{i}"], final_row] = self.digest[i]
         return tr
 
 
-def sha256_compress_oracle(block: bytes) -> bytes:
-    """Digest of a single pre-padded block via hashlib-compatible math."""
-    air = Sha256CompressAir(block)
-    return b"".join(int.to_bytes(x, 4, "big") for x in air.digest)
+# Backwards-compatible name for the single-block compression entry point.
+class Sha256CompressAir(Sha256Air):
+    def __init__(self, block: bytes):
+        assert len(block) == 64
+        # bypass padding: treat the block as already padded
+        self.message = block
+        self.blocks = [block]
+        log_n = 7
+        Air.__init__(self, width=WIDTH, log_n=log_n, constraint_degree=4)
+        self.msg_words = [int.from_bytes(block[4 * i:4 * i + 4], "big")
+                          for i in range(16)]
+        self._run()
