@@ -219,6 +219,10 @@ class Sha256Air(Air):
         return out
 
     def transition(self, alg, local, nxt, public, consts=None):
+        from vectorx_tpu.stark.air import DeviceAlgebra
+
+        if alg is DeviceAlgebra:
+            return self._transition_device(local, nxt, consts)
         one = alg.constant(1)
         two = alg.constant(2)
         k_col = consts[_CONST["K"]]
@@ -304,11 +308,11 @@ class Sha256Air(Air):
         out.append(gate(sel_round, alg.sub(lhs_a, alg.add(T1, T2))))
         lhs_e = alg.add(word(En), alg.mul(pow32, word(CE)))
         out.append(gate(sel_round, alg.sub(lhs_e, alg.add(Dw, T1))))
-        for i in range(32):
-            out.append(gate(sel_round, alg.sub(Bn[i], A[i])))
-            out.append(gate(sel_round, alg.sub(Cn[i], B[i])))
-            out.append(gate(sel_round, alg.sub(Fn[i], E[i])))
-            out.append(gate(sel_round, alg.sub(Gn[i], F[i])))
+        # pipeline copies in blocked order (must match _transition_device's
+        # constraint emission order — the α powers pair by index)
+        for Xn, X in ((Bn, A), (Cn, B), (Fn, E), (Gn, F)):
+            for i in range(32):
+                out.append(gate(sel_round, alg.sub(Xn[i], X[i])))
         out.append(gate(sel_round, alg.sub(Dwn, word(C))))
         out.append(gate(sel_round, alg.sub(Hwn, word(G))))
 
@@ -342,6 +346,173 @@ class Sha256Air(Air):
         # section start: working state loads the chain value
         for i, sw in enumerate(state_words):
             out.append(gate(sel_secstart, alg.sub(sw, H[i])))
+
+        return out
+
+    def _transition_device(self, local, nxt, consts):
+        """Vectorized device evaluation of the same constraints: each bit
+        family is a stacked (32, N) array; rotations are jnp.roll on the
+        bit axis; word sums are one weighted reduction.  Cuts ~100k eager
+        dispatches to a few hundred stacked ops."""
+        import jax.numpy as jnp
+
+        from vectorx_tpu.field import goldilocks as gl
+
+        def stack_fam(cols, fam):
+            base = _COLS[f"{fam}0"]
+            return (jnp.stack([cols[base + i][0] for i in range(32)]),
+                    jnp.stack([cols[base + i][1] for i in range(32)]))
+
+        def stack_cols(cols, names):
+            return (jnp.stack([cols[_COLS[nm]][0] for nm in names]),
+                    jnp.stack([cols[_COLS[nm]][1] for nm in names]))
+
+        POW = np.array([1 << i for i in range(32)], dtype=np.uint64)
+        POWL = (POW & np.uint64(0xFFFFFFFF)).astype(np.uint32)[:, None]
+        POWH = (POW >> np.uint64(32)).astype(np.uint32)[:, None]
+
+        def word(bits):
+            bl, bh = bits
+            tl, th = gl.mul(bl, bh, POWL[:bl.shape[0]], POWH[:bl.shape[0]])
+            # tree-reduce over the bit axis
+            while tl.shape[0] > 1:
+                half = tl.shape[0] // 2
+                sl, sh = gl.add(tl[:half], th[:half],
+                                tl[half:2 * half], th[half:2 * half])
+                if tl.shape[0] % 2:
+                    sl = jnp.concatenate([sl, tl[-1:]])
+                    sh = jnp.concatenate([sh, th[-1:]])
+                tl, th = sl, sh
+            return tl[0], th[0]
+
+        def add(a, b):
+            return gl.add(a[0], a[1], b[0], b[1])
+
+        def sub(a, b):
+            return gl.sub(a[0], a[1], b[0], b[1])
+
+        def mul(a, b):
+            return gl.mul(a[0], a[1], b[0], b[1])
+
+        def cmul(k, a):
+            kk = int(k) % gl.P
+            return gl.mul(a[0], a[1], np.uint32(kk & 0xFFFFFFFF),
+                          np.uint32(kk >> 32))
+
+        def xor3(x, y, z):
+            s = add(add(x, y), z)
+            p = add(add(mul(x, y), mul(y, z)), mul(z, x))
+            xyz = mul(mul(x, y), z)
+            return add(sub(s, cmul(2, p)), cmul(4, xyz))
+
+        def roll(bits, n):
+            # result bit i = input bit (i+n) % 32
+            return (jnp.roll(bits[0], -n, axis=0), jnp.roll(bits[1], -n, axis=0))
+
+        def shr(bits, n):
+            # result bit i = input bit i+n (0 beyond 31)
+            zl = jnp.zeros_like(bits[0][:n])
+            return (jnp.concatenate([bits[0][n:], zl]),
+                    jnp.concatenate([bits[1][n:], zl]))
+
+        k_col = consts[_CONST["K"]]
+        sels = {nm: consts[_CONST[nm]] for nm in _CONST}
+
+        def gate(sel_name, expr):
+            s = sels[sel_name]
+            return mul((s[0], s[1]), expr)
+
+        def gate_rows(sel_name, rows):
+            """Gate a stacked (m, N) expression; returns list of pairs."""
+            s = sels[sel_name]
+            gl_, gh_ = gl.mul(rows[0], rows[1], s[0][None, :], s[1][None, :])
+            return [(gl_[i], gh_[i]) for i in range(gl_.shape[0])]
+
+        A = stack_fam(local, "A"); B = stack_fam(local, "B")
+        C = stack_fam(local, "C"); E = stack_fam(local, "E")
+        F = stack_fam(local, "F"); G = stack_fam(local, "G")
+        An = stack_fam(nxt, "A"); Bn = stack_fam(nxt, "B")
+        Cn = stack_fam(nxt, "C"); En = stack_fam(nxt, "E")
+        Fn = stack_fam(nxt, "F"); Gn = stack_fam(nxt, "G")
+        Dw = local[_COLS["Dw"]]; Hw = local[_COLS["Hw"]]
+        Dwn = nxt[_COLS["Dw"]]; Hwn = nxt[_COLS["Hw"]]
+        W = [local[_COLS[f"W{k}"]] for k in range(17)]
+        Wn = [nxt[_COLS[f"W{k}"]] for k in range(17)]
+        WB2 = stack_cols(local, [f"WB2_{i}" for i in range(32)])
+        WB15 = stack_cols(local, [f"WB15_{i}" for i in range(32)])
+        CA = stack_cols(local, [f"CA{i}" for i in range(3)])
+        CE = stack_cols(local, [f"CE{i}" for i in range(3)])
+        CW = stack_cols(local, [f"CW{i}" for i in range(2)])
+        H = [local[_COLS[f"H{i}"]] for i in range(8)]
+        Hn = [nxt[_COLS[f"H{i}"]] for i in range(8)]
+        CH = stack_cols(local, [f"CH{i}" for i in range(8)])
+
+        out = []
+
+        def boolean_rows(sel_name, bits):
+            onel = jnp.uint32(1)
+            m = gl.sub(bits[0], bits[1], onel, jnp.uint32(0))
+            sq = gl.mul(bits[0], bits[1], m[0], m[1])
+            out.extend(gate_rows(sel_name, sq))
+
+        for fam in (A, B, C, E, F, G):
+            boolean_rows("sel_state", fam)
+        boolean_rows("sel_wbits", WB2)
+        boolean_rows("sel_wbits", WB15)
+        boolean_rows("sel_round", CA)
+        boolean_rows("sel_round", CE)
+        boolean_rows("sel_schedule", CW)
+        boolean_rows("sel_handoff", CH)
+
+        # round function
+        S1 = word(xor3(roll(E, 6), roll(E, 11), roll(E, 25)))
+        one_minus_E = sub((jnp.ones_like(E[0]), jnp.zeros_like(E[1])), E)
+        Ch = word(add(mul(E, F), mul(one_minus_E, G)))
+        S0 = word(xor3(roll(A, 2), roll(A, 13), roll(A, 22)))
+        Maj = word(sub(add(add(mul(A, B), mul(A, C)), mul(B, C)),
+                       cmul(2, mul(mul(A, B), C))))
+        T1 = add(add(add(Hw, S1), add(Ch, k_col)), W[0])
+        T2 = add(S0, Maj)
+        ca = word(CA)
+        ce = word(CE)
+        lhs_a = add(word(An), cmul(1 << 32, ca))
+        out.append(gate("sel_round", sub(lhs_a, add(T1, T2))))
+        lhs_e = add(word(En), cmul(1 << 32, ce))
+        out.append(gate("sel_round", sub(lhs_e, add(Dw, T1))))
+        out.extend(gate_rows("sel_round", sub(Bn, A)))
+        out.extend(gate_rows("sel_round", sub(Cn, B)))
+        out.extend(gate_rows("sel_round", sub(Fn, E)))
+        out.extend(gate_rows("sel_round", sub(Gn, F)))
+        out.append(gate("sel_round", sub(Dwn, word(C))))
+        out.append(gate("sel_round", sub(Hwn, word(G))))
+
+        # schedule
+        for k in range(1, 17):
+            out.append(gate("sel_shift", sub(Wn[k], W[k - 1])))
+        out.append(gate("sel_wbits", sub(word(WB2), W[2])))
+        out.append(gate("sel_wbits", sub(word(WB15), W[15])))
+        sig1 = word(xor3(roll(WB2, 17), roll(WB2, 19), shr(WB2, 10)))
+        sig0 = word(xor3(roll(WB15, 7), roll(WB15, 18), shr(WB15, 3)))
+        cw = word(CW)
+        lhs_w = add(W[0], cmul(1 << 32, cw))
+        rhs_w = add(add(sig1, W[7]), add(sig0, W[16]))
+        out.append(gate("sel_schedule", sub(lhs_w, rhs_w)))
+
+        # chaining
+        Hs = (jnp.stack([h[0] for h in H]), jnp.stack([h[1] for h in H]))
+        Hns = (jnp.stack([h[0] for h in Hn]), jnp.stack([h[1] for h in Hn]))
+        out.extend(gate_rows("sel_hcopy", sub(Hns, Hs)))
+        state_words = [word(A), word(B), word(C), Dw,
+                       word(E), word(F), word(G), Hw]
+        sw = (jnp.stack([s[0] for s in state_words]),
+              jnp.stack([s[1] for s in state_words]))
+        ch_terms = gl.mul(CH[0], CH[1], np.uint32(0), np.uint32(1))  # ·2^32
+        lhs_h = gl.add(Hns[0], Hns[1], ch_terms[0], ch_terms[1])
+        rhs_h = gl.add(Hs[0], Hs[1], sw[0], sw[1])
+        out.extend(gate_rows("sel_handoff",
+                             gl.sub(lhs_h[0], lhs_h[1],
+                                    rhs_h[0], rhs_h[1])))
+        out.extend(gate_rows("sel_secstart", sub(sw, Hs)))
 
         return out
 
