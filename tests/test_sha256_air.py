@@ -90,3 +90,18 @@ def test_zk_authority_commitment_single_key():
     proof.step_digests = [b"\x00" * 32]
     proof.commitment = b"\x00" * 32
     assert not verify_authority_commitment(proof, CFG)
+
+
+def test_zk_merkle_root_two_leaves():
+    from vectorx_tpu.circuits.zk_merkle import (prove_merkle_root,
+                                                verify_merkle_root)
+    from vectorx_tpu.merkle import sha256_merkle_root
+
+    leaves = [b"\x01" * 32, b"\x02" * 32]
+    proof = prove_merkle_root(leaves, CFG)
+    assert verify_merkle_root(proof, CFG)
+    # bit-exact with the reference commitment shape
+    assert proof.root == sha256_merkle_root(leaves)
+    # tampered root rejected
+    proof.root = b"\x00" * 32
+    assert not verify_merkle_root(proof, CFG)
