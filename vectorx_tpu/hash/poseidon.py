@@ -216,15 +216,33 @@ def hash_no_pad(lo, hi):
 
     Overwrite-mode sponge: absorb 8 lanes per permutation (no padding),
     squeeze the first 4 lanes — the layout of plonky2's `hash_n_to_m_no_pad`.
+
+    Full-rate chunks absorb under lax.scan (unrolling hundreds of chunked
+    permutations for wide leaves blows up XLA:CPU compile times); a short
+    final chunk is absorbed separately, preserving exact semantics.
     """
     batch = lo.shape[:-1]
     k = lo.shape[-1]
     sl = jnp.zeros((*batch, WIDTH), jnp.uint32)
     sh = jnp.zeros((*batch, WIDTH), jnp.uint32)
-    for start in range(0, k, RATE):
-        chunk = min(RATE, k - start)
-        sl = jnp.concatenate([lo[..., start:start + chunk], sl[..., chunk:]], axis=-1)
-        sh = jnp.concatenate([hi[..., start:start + chunk], sh[..., chunk:]], axis=-1)
+    full = k // RATE
+    if full:
+        xl = jnp.moveaxis(
+            lo[..., :full * RATE].reshape(*batch, full, RATE), -2, 0)
+        xh = jnp.moveaxis(
+            hi[..., :full * RATE].reshape(*batch, full, RATE), -2, 0)
+
+        def step(st, chunk):
+            cl, ch = chunk
+            s0 = jnp.concatenate([cl, st[0][..., RATE:]], axis=-1)
+            s1 = jnp.concatenate([ch, st[1][..., RATE:]], axis=-1)
+            return permute(s0, s1), None
+
+        (sl, sh), _ = jax.lax.scan(step, (sl, sh), (xl, xh))
+    rem = k - full * RATE
+    if rem:
+        sl = jnp.concatenate([lo[..., full * RATE:], sl[..., rem:]], axis=-1)
+        sh = jnp.concatenate([hi[..., full * RATE:], sh[..., rem:]], axis=-1)
         sl, sh = permute(sl, sh)
     return sl[..., :DIGEST], sh[..., :DIGEST]
 
