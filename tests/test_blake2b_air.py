@@ -51,3 +51,20 @@ def test_blake2b_zk_proof_roundtrip_and_tamper():
     # different message must fail
     bad2 = Blake2bAir(msg + b"!")
     assert not verify(bad2, proof, CFG)
+
+
+def test_zk_header_hash_on_fixture_chain():
+    """C4 in ZK: prove blake2b(encoded header) = chain hash for a real
+    synthetic-chain header (header.rs:13-20 semantics)."""
+    from vectorx_tpu.io.fixtures import FixtureChain
+
+    chain = FixtureChain(seed=17, num_blocks=8, epoch_length=4,
+                         authorities_per_era=lambda e: 3)
+    enc = chain.get_encoded_header(5)
+    air = Blake2bAir(enc)
+    assert air.digest_bytes() == chain.get_block_hash(5)
+    proof = prove(air, air.build_trace(), CFG)
+    assert verify(air, proof, CFG)
+    # a claimed wrong header hash must not verify
+    bad = Blake2bAir.statement(enc, b"\x42" * 32)
+    assert not verify(bad, proof, CFG)

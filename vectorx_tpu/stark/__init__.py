@@ -1,6 +1,20 @@
 from vectorx_tpu.stark.air import Air, DeviceAlgebra, ExtAlgebra, FibonacciAir
-from vectorx_tpu.stark.prover import StarkConfig, StarkProof, prove
+from vectorx_tpu.stark.prover import StarkConfig, StarkProof, preprocess, prove
 from vectorx_tpu.stark.verifier import verify
 
 __all__ = ["Air", "DeviceAlgebra", "ExtAlgebra", "FibonacciAir",
-           "StarkConfig", "StarkProof", "prove", "verify"]
+           "StarkConfig", "StarkProof", "preprocess", "prove", "verify"]
+
+
+def __getattr__(name):
+    # Lazy AIR exports (their modules pull in the full kernel stack)
+    if name == "PoseidonAir":
+        from vectorx_tpu.stark.poseidon_air import PoseidonAir
+        return PoseidonAir
+    if name == "Sha256Air":
+        from vectorx_tpu.stark.sha256_air import Sha256Air
+        return Sha256Air
+    if name == "Blake2bAir":
+        from vectorx_tpu.stark.blake2b_air import Blake2bAir
+        return Blake2bAir
+    raise AttributeError(name)
