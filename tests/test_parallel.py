@@ -63,3 +63,20 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out[0].shape == (4,)
+
+
+def test_four_step_inverse_reference():
+    """The inverse four-step transform is a correct iNTT in the same digit
+    order: composing it index-aware with the forward plain ntt is identity."""
+    from vectorx_tpu.parallel.ntt_sharded import four_step_ntt_reference
+
+    R, C = 8, 16
+    coeffs = RNG.integers(0, gl.P, size=R * C, dtype=np.uint64)
+    cl, ch = gl.from_u64(coeffs)
+    ol, oh = four_step_ntt_reference(cl, ch, R, C, inverse=True)
+    got = gl.to_u64(ol, oh)             # (R, C) transposed digit order
+    # oracle: plain intt, then compare via the digit-order mapping
+    from vectorx_tpu.ntt import intt
+
+    exp = gl.to_u64(*intt(cl, ch))
+    assert np.array_equal(got.T.reshape(-1), exp)
