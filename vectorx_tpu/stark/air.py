@@ -55,6 +55,35 @@ class ExtAlgebra:
         return ext_py.from_base(v)
 
 
+@dataclass(frozen=True)
+class Lookup:
+    """A LogUp multiset-inclusion argument: every value in the witness
+    columns `inputs` (over rows 0..n-2) appears in the preprocessed table
+    column `table`; `multiplicity` is a witness column counting, per table
+    row, how many input cells hold that value.
+
+    Plays the role of curta/starkyx's global 16-bit range table that the
+    reference's ed25519/hash AIRs lean on for limb range checks
+    (/root/reference SURVEY.md §2 E3).  Degree of the synthesized
+    transition constraint is 2 + len(inputs) (≤ 2 inputs per lookup keeps
+    it inside the degree-4 quotient budget)."""
+
+    inputs: tuple          # witness column indices (1 or 2)
+    table: int             # preprocessed (constant) column index
+    multiplicity: int      # witness column index
+
+    @property
+    def degree(self) -> int:
+        return 2 + len(self.inputs)
+
+
+# Independent repetitions of the lookup argument (separate β challenges,
+# separate running-sum columns).  Two base-field repetitions ≈ squared
+# soundness error — the same trade starky makes with its base-field
+# grand-product challenges.
+NUM_LOOKUP_SETS = 2
+
+
 @dataclass
 class Air:
     width: int
@@ -66,6 +95,12 @@ class Air:
         return 1 << self.log_n
 
     def public_inputs(self) -> list[int]:
+        return []
+
+    def lookups(self) -> list[Lookup]:
+        """LogUp lookups to enforce.  Each adds NUM_LOOKUP_SETS auxiliary
+        running-sum columns, committed after a Fiat-Shamir challenge drawn
+        post-trace-commit.  Default: none."""
         return []
 
     def constant_columns(self):
@@ -87,6 +122,67 @@ class Air:
     def boundaries(self, public: list[int]):
         """[(row, col, value_int)] equality constraints on trace cells."""
         return []
+
+
+def lookup_transitions(alg, local, nxt, aux_local, aux_next, consts,
+                       betas, lookups):
+    """Synthesize the LogUp transition constraints, one per (lookup,
+    challenge set), against an abstract algebra — evaluated on-device over
+    the LDE domain and host-side at ζ, exactly like `Air.transition`.
+
+    For lookup l with inputs a_j, table t, multiplicity m, running sum Z
+    and challenge β, rows 0..n-2 must satisfy (denominators cleared):
+
+        (Z' − Z)·(β−t)·Π_j(β−a_j)
+          = [Σ_j Π_{k≠j}(β−a_k)]·(β−t) − m·Π_j(β−a_j)
+    """
+    out = []
+    for li, lk in enumerate(lookups):
+        t = consts[lk.table]
+        m = local[lk.multiplicity]
+        for s, beta in enumerate(betas):
+            b = alg.constant(beta)
+            bt = alg.sub(b, t)
+            bins = [alg.sub(b, local[j]) for j in lk.inputs]
+            prod_in = bins[0]
+            for x in bins[1:]:
+                prod_in = alg.mul(prod_in, x)
+            if len(bins) == 1:
+                sum_excl = alg.constant(1)
+            else:
+                # Σ_j Π_{k≠j}; with ≤2 inputs this is just the other factor
+                sum_excl = alg.add(bins[1], bins[0]) if len(bins) == 2 else \
+                    _sum_excl_general(alg, bins)
+            col = li * NUM_LOOKUP_SETS + s
+            dz = alg.sub(aux_next[col], aux_local[col])
+            lhs = alg.mul(alg.mul(dz, bt), prod_in)
+            rhs = alg.sub(alg.mul(sum_excl, bt), alg.mul(m, prod_in))
+            out.append(alg.sub(lhs, rhs))
+    return out
+
+
+def _sum_excl_general(alg, bins):
+    total = None
+    for j in range(len(bins)):
+        term = None
+        for k, x in enumerate(bins):
+            if k == j:
+                continue
+            term = x if term is None else alg.mul(term, x)
+        total = term if total is None else alg.add(total, term)
+    return total
+
+
+def lookup_boundaries(air: Air):
+    """Z[0] = 0 and Z[n−1] = 0 for every aux column; column indices are
+    offset by `air.width` (the aux columns sit after the witness columns
+    in the opened-value ordering)."""
+    out = []
+    n_aux = len(air.lookups()) * NUM_LOOKUP_SETS
+    for a in range(n_aux):
+        out.append((0, air.width + a, 0))
+        out.append((air.n - 1, air.width + a, 0))
+    return out
 
 
 class FibonacciAir(Air):

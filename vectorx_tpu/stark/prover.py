@@ -33,7 +33,8 @@ from vectorx_tpu.fri.fri import (FriConfig, derive_query_indices, fri_prove,
 from vectorx_tpu.fri.transcript import Challenger
 from vectorx_tpu.ntt import coset_intt, coset_ntt, intt, lde, power_table
 from vectorx_tpu.ntt.ntt import _root_of_unity
-from vectorx_tpu.stark.air import Air, DeviceAlgebra
+from vectorx_tpu.stark.air import (NUM_LOOKUP_SETS, Air, DeviceAlgebra,
+                                   lookup_boundaries, lookup_transitions)
 
 P = gl.P
 
@@ -65,6 +66,10 @@ class StarkProof:
     quotient_openings: list      # per query: TreeOpening
     constants_at_zeta: list = field(default_factory=list)  # K ext pairs
     constants_openings: list = field(default_factory=list)
+    aux_cap: list = field(default_factory=list)            # lookup Z columns
+    aux_at_zeta: list = field(default_factory=list)
+    aux_at_zeta_next: list = field(default_factory=list)
+    aux_openings: list = field(default_factory=list)
 
 
 def preprocess(air: Air, config: "StarkConfig"):
@@ -183,6 +188,66 @@ def _zh_on_domain(air: Air, config: StarkConfig):
     return (*gl.from_u64(zh), *gl.from_u64(zhi))
 
 
+def _field_exclusive_prefix_sum(cl, ch):
+    """Exclusive prefix sum along the last axis in GF(p): Hillis-Steele
+    inclusive scan (log n shifted adds, all on device), then shift by one."""
+    n = cl.shape[-1]
+    d = 1
+    while d < n:
+        zl = jnp.zeros_like(cl[..., :d])
+        sl = jnp.concatenate([zl, cl[..., :-d]], axis=-1)
+        sh = jnp.concatenate([jnp.zeros_like(zl), ch[..., :-d]], axis=-1)
+        cl, ch = gl.add(cl, ch, sl, sh)
+        d *= 2
+    zl = jnp.zeros_like(cl[..., :1])
+    return (jnp.concatenate([zl, cl[..., :-1]], axis=-1),
+            jnp.concatenate([jnp.zeros_like(zl), ch[..., :-1]], axis=-1))
+
+
+def lookup_aux_trace(air: Air, tl, th, consts_u64, betas) -> np.ndarray:
+    """Witness-generate the LogUp running-sum columns Z_{l,s} as a
+    (num_lookups·NUM_LOOKUP_SETS, n) uint64 array.
+
+    Z_{l,s}[i] = Σ_{r<i} [ Σ_j 1/(β_s − a_j[r]) − m[r]/(β_s − t[r]) ]
+
+    All inversions run as ONE batched device `gl.inv`; the prefix sum is a
+    log-depth device scan."""
+    lookups = air.lookups()
+    dens_l, dens_h = [], []
+    for lk in lookups:
+        t_l, t_h = gl.from_u64(np.asarray(consts_u64[lk.table],
+                                          dtype=np.uint64))
+        for beta in betas:
+            bl = jnp.uint32(beta & 0xFFFFFFFF)
+            bh = jnp.uint32(beta >> 32)
+            for j in lk.inputs:
+                d = gl.sub(bl, bh, tl[j], th[j])
+                dens_l.append(d[0])
+                dens_h.append(d[1])
+            d = gl.sub(bl, bh, t_l, t_h)
+            dens_l.append(d[0])
+            dens_h.append(d[1])
+    inv_l, inv_h = gl.inv(jnp.stack(dens_l), jnp.stack(dens_h))
+    rows_l, rows_h = [], []
+    k = 0
+    for lk in lookups:
+        m_l, m_h = tl[lk.multiplicity], th[lk.multiplicity]
+        for _ in betas:
+            ni = len(lk.inputs)
+            cl = inv_l[k]
+            chh = inv_h[k]
+            for j in range(1, ni):
+                cl, chh = gl.add(cl, chh, inv_l[k + j], inv_h[k + j])
+            mt = gl.mul(m_l, m_h, inv_l[k + ni], inv_h[k + ni])
+            cl, chh = gl.sub(cl, chh, *mt)
+            k += ni + 1
+            rows_l.append(cl)
+            rows_h.append(chh)
+    zl, zh = _field_exclusive_prefix_sum(jnp.stack(rows_l),
+                                         jnp.stack(rows_h))
+    return np.asarray(gl.to_u64(zl, zh))
+
+
 def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
           ) -> StarkProof:
     n = air.n
@@ -211,6 +276,25 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     trace_tree = merkle.build_tree(tr_lde_l.T, tr_lde_h.T, cap_height=cap_h)
     challenger.observe_cap(trace_tree.cap_ints())
 
+    # ---- lookup aux columns (committed after a post-trace challenge) ------
+    lookups = air.lookups()
+    A = len(lookups) * NUM_LOOKUP_SETS
+    betas: list[int] = []
+    aux_tree = aux_lde = aux_coeff = None
+    if lookups:
+        assert K, "lookup tables live in constant_columns()"
+        assert air.constraint_degree >= max(lk.degree for lk in lookups), \
+            "constraint_degree must cover the synthesized lookup constraints"
+        betas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        aux_u64 = lookup_aux_trace(air, tl, th, air.constant_columns(), betas)
+        axl, axh = gl.from_u64(aux_u64)
+        aux_coeff = intt(axl, axh)
+        aux_lde = coset_ntt(jnp.pad(aux_coeff[0], pad),
+                            jnp.pad(aux_coeff[1], pad))
+        aux_tree = merkle.build_tree(aux_lde[0].T, aux_lde[1].T,
+                                     cap_height=cap_h)
+        challenger.observe_cap(aux_tree.cap_ints())
+
     # ---- constraint composition ------------------------------------------
     alpha = challenger.get_extension_challenge()
     local = [(tr_lde_l[j], tr_lde_h[j]) for j in range(W)]
@@ -225,6 +309,13 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     # XLA:CPU super-linear compile blowup on wide AIRs (Poseidon: ~25k ops)
     transition_vals = air.transition(DeviceAlgebra, local, nxt, public,
                                      consts_dev)
+    if lookups:
+        aux_local = [(aux_lde[0][a], aux_lde[1][a]) for a in range(A)]
+        aux_nxt = [(jnp.roll(aux_lde[0][a], -blowup),
+                    jnp.roll(aux_lde[1][a], -blowup)) for a in range(A)]
+        transition_vals = list(transition_vals) + lookup_transitions(
+            DeviceAlgebra, local, nxt, aux_local, aux_nxt, consts_dev,
+            betas, lookups)
 
     xl, xh = _domain_x(log_N, gl.GENERATOR)
     zh_l, zh_h, zhinv_l, zhinv_h = _zh_on_domain(air, config)
@@ -251,7 +342,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     acc0 = _sum_rows(*gl.mul(tsl, tsh, tw[0][:, None], tw[1][:, None]))
     acc1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][:, None], tw[3][:, None]))
     acc = (*acc0, *acc1)
-    boundaries = air.boundaries(public)
+    boundaries = list(air.boundaries(public)) + \
+        (lookup_boundaries(air) if lookups else [])
     if boundaries:
         # all boundary terms batched: (B, N) stacked rows, ONE batched
         # inverse, α-weighted sum over the boundary axis
@@ -273,8 +365,11 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         dl, dh = gl.sub(xl[None, :], xh[None, :],
                         xrl[:, None], xrh[:, None])        # (B, N)
         dinv_l, dinv_h = gl.inv(dl, dh)
-        pcl = jnp.stack([tr_lde_l[c] for c in cols])
-        pch = jnp.stack([tr_lde_h[c] for c in cols])
+        # col index ≥ W addresses a lookup aux column (see lookup_boundaries)
+        pcl = jnp.stack([tr_lde_l[c] if c < W else aux_lde[0][c - W]
+                         for c in cols])
+        pch = jnp.stack([tr_lde_h[c] if c < W else aux_lde[1][c - W]
+                         for c in cols])
         pl_, ph_ = gl.sub(pcl, pch, vl_[:, None], vh_[:, None])
         cl, ch = gl.mul(pl_, ph_, zh_l[None, :], zh_h[None, :])
         cl, ch = gl.mul(cl, ch, dinv_l, dinv_h)
@@ -310,6 +405,11 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
     trace_at_zeta = eval_base_polys_at_ext(coeff_l, coeff_h, zeta)
     trace_at_zeta_next = eval_base_polys_at_ext(coeff_l, coeff_h, w_zeta)
+    aux_at_zeta = []
+    aux_at_zeta_next = []
+    if lookups:
+        aux_at_zeta = eval_base_polys_at_ext(*aux_coeff, zeta)
+        aux_at_zeta_next = eval_base_polys_at_ext(*aux_coeff, w_zeta)
     constants_at_zeta = []
     if K:
         constants_at_zeta = eval_base_polys_at_ext(*const_coeff, zeta)
@@ -323,8 +423,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         # Q_k(ζ) = e0 + x·e1 where x is the extension generator
         quotient_at_zeta.append(ext_py.add(e0, ext_py.mul((0, 1), e1)))
 
-    for pair in (*trace_at_zeta, *trace_at_zeta_next, *constants_at_zeta,
-                 *quotient_at_zeta):
+    for pair in (*trace_at_zeta, *trace_at_zeta_next, *aux_at_zeta,
+                 *aux_at_zeta_next, *constants_at_zeta, *quotient_at_zeta):
         challenger.observe(pair[0])
         challenger.observe(pair[1])
 
@@ -339,7 +439,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         jnp.broadcast_to(c, xl.shape) for c in wzeta_dev)))
 
     # γ powers for every opened polynomial, in transcript order
-    n_polys = 2 * W + K + chunks
+    n_polys = 2 * W + 2 * A + K + chunks
     g_pows = []
     g_pow = ext_py.ONE
     for _ in range(n_polys):
@@ -376,14 +476,20 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     L = ge.add(L, base_group(tr_lde_l, tr_lde_h, _weights(g_pows[W:2 * W]),
                              dotc(g_pows[W:2 * W], trace_at_zeta_next),
                              inv_x_wzeta))
+    if lookups:
+        ga = g_pows[2 * W:2 * W + A]
+        gb = g_pows[2 * W + A:2 * W + 2 * A]
+        L = ge.add(L, base_group(aux_lde[0], aux_lde[1], _weights(ga),
+                                 dotc(ga, aux_at_zeta), inv_x_zeta))
+        L = ge.add(L, base_group(aux_lde[0], aux_lde[1], _weights(gb),
+                                 dotc(gb, aux_at_zeta_next), inv_x_wzeta))
     if K:
         cll, clh = const_lde
-        L = ge.add(L, base_group(cll, clh,
-                                 _weights(g_pows[2 * W:2 * W + K]),
-                                 dotc(g_pows[2 * W:2 * W + K],
-                                      constants_at_zeta), inv_x_zeta))
+        kg = g_pows[2 * W + 2 * A:2 * W + 2 * A + K]
+        L = ge.add(L, base_group(cll, clh, _weights(kg),
+                                 dotc(kg, constants_at_zeta), inv_x_zeta))
     # quotient chunks (extension-valued columns)
-    qg = g_pows[2 * W + K:]
+    qg = g_pows[2 * W + 2 * A + K:]
     qw = _weights(qg)
     qc0l, qc0h = q_lde_l[0::2], q_lde_h[0::2]     # (chunks, N) c0 parts
     qc1l, qc1h = q_lde_l[1::2], q_lde_h[1::2]     # (chunks, N) c1 parts
@@ -413,9 +519,11 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     tr_host_l = gl.to_u64(tr_lde_l, tr_lde_h)      # (W, N) uint64
     q_host = gl.to_u64(q_lde_l, q_lde_h)           # (2*chunks, N)
     c_host = gl.to_u64(*const_lde) if K else None
+    a_host = gl.to_u64(*aux_lde) if lookups else None
     trace_openings = []
     quotient_openings = []
     constants_openings = []
+    aux_openings = []
     for q in indices:
         trace_openings.append(TreeOpening(
             leaf=[int(x) for x in tr_host_l[:, q]],
@@ -427,6 +535,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
             constants_openings.append(TreeOpening(
                 leaf=[int(x) for x in c_host[:, q]],
                 path=const_tree.open(q)))
+        if lookups:
+            aux_openings.append(TreeOpening(
+                leaf=[int(x) for x in a_host[:, q]],
+                path=aux_tree.open(q)))
 
     return StarkProof(
         trace_cap=trace_tree.cap_ints(),
@@ -439,4 +551,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         quotient_openings=quotient_openings,
         constants_at_zeta=constants_at_zeta,
         constants_openings=constants_openings,
+        aux_cap=aux_tree.cap_ints() if lookups else [],
+        aux_at_zeta=aux_at_zeta,
+        aux_at_zeta_next=aux_at_zeta_next,
+        aux_openings=aux_openings,
     )

@@ -14,7 +14,8 @@ from vectorx_tpu.field import goldilocks as gl
 from vectorx_tpu.fri.fri import fri_check_queries, fri_replay
 from vectorx_tpu.fri.transcript import Challenger
 from vectorx_tpu.ntt.ntt import _root_of_unity
-from vectorx_tpu.stark.air import Air, ExtAlgebra
+from vectorx_tpu.stark.air import (NUM_LOOKUP_SETS, Air, ExtAlgebra,
+                                   lookup_boundaries, lookup_transitions)
 from vectorx_tpu.stark.prover import StarkConfig, StarkProof, \
     _num_quotient_chunks, preprocess
 
@@ -44,14 +45,23 @@ def verify(air: Air, proof: StarkProof,
         const_cap = const_tree.cap_ints()
         challenger.observe_cap(const_cap)
     challenger.observe_cap(proof.trace_cap)
+    lookups = air.lookups()
+    A = len(lookups) * NUM_LOOKUP_SETS
+    betas: list[int] = []
+    if lookups:
+        betas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        challenger.observe_cap(proof.aux_cap)
     alpha = challenger.get_extension_challenge()
     challenger.observe_cap(proof.quotient_cap)
     zeta = challenger.get_extension_challenge()
     if len(proof.trace_at_zeta) != W or len(proof.trace_at_zeta_next) != W \
             or len(proof.quotient_at_zeta) != chunks \
-            or len(proof.constants_at_zeta) != K:
+            or len(proof.constants_at_zeta) != K \
+            or len(proof.aux_at_zeta) != A \
+            or len(proof.aux_at_zeta_next) != A:
         return False
     for pair in (*proof.trace_at_zeta, *proof.trace_at_zeta_next,
+                 *proof.aux_at_zeta, *proof.aux_at_zeta_next,
                  *proof.constants_at_zeta, *proof.quotient_at_zeta):
         challenger.observe(pair[0])
         challenger.observe(pair[1])
@@ -67,7 +77,12 @@ def verify(air: Air, proof: StarkProof,
     local = list(proof.trace_at_zeta)
     nxt = list(proof.trace_at_zeta_next)
     consts = list(proof.constants_at_zeta) if K else None
-    transition_vals = air.transition(ExtAlgebra, local, nxt, public, consts)
+    transition_vals = list(air.transition(ExtAlgebra, local, nxt, public,
+                                          consts))
+    if lookups:
+        transition_vals += lookup_transitions(
+            ExtAlgebra, local, nxt, list(proof.aux_at_zeta),
+            list(proof.aux_at_zeta_next), consts, betas, lookups)
 
     acc = ext_py.ZERO
     a_pow = ext_py.ONE
@@ -75,9 +90,12 @@ def verify(air: Air, proof: StarkProof,
     for t in transition_vals:
         acc = ext_py.add(acc, ext_py.mul(a_pow, ext_py.mul(t, mask)))
         a_pow = ext_py.mul(a_pow, alpha)
-    for (row, col, value) in air.boundaries(public):
+    all_at_zeta = local + list(proof.aux_at_zeta)
+    boundaries = list(air.boundaries(public)) + \
+        (lookup_boundaries(air) if lookups else [])
+    for (row, col, value) in boundaries:
         x_r = pow(w, row, P)
-        diff = ext_py.sub(local[col], ext_py.from_base(value))
+        diff = ext_py.sub(all_at_zeta[col], ext_py.from_base(value))
         den_inv = ext_py.inv(ext_py.sub(zeta, ext_py.from_base(x_r)))
         term = ext_py.mul(ext_py.mul(diff, zh_zeta), den_inv)
         acc = ext_py.add(acc, ext_py.mul(a_pow, term))
@@ -104,6 +122,8 @@ def verify(air: Air, proof: StarkProof,
 
     if K and len(proof.constants_openings) != len(indices):
         return False
+    if lookups and len(proof.aux_openings) != len(indices):
+        return False
     w8 = _root_of_unity(log_N, inverse=False)
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
     query_values = []
@@ -123,6 +143,12 @@ def verify(air: Air, proof: StarkProof,
             if len(c_open.leaf) != K or not merkle.verify_path(
                     c_open.leaf, q, c_open.path, const_cap):
                 return False
+        a_open = None
+        if lookups:
+            a_open = proof.aux_openings[qi]
+            if len(a_open.leaf) != A or not merkle.verify_path(
+                    a_open.leaf, q, a_open.path, proof.aux_cap):
+                return False
         x_q = (gl.GENERATOR * pow(w8, q, P)) % P
         inv_xz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), zeta))
         inv_xwz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), w_zeta))
@@ -137,6 +163,18 @@ def verify(air: Air, proof: StarkProof,
         for j in range(W):
             diff = ext_py.sub(ext_py.from_base(t_open.leaf[j]),
                               proof.trace_at_zeta_next[j])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xwz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        for a in range(A):
+            diff = ext_py.sub(ext_py.from_base(a_open.leaf[a]),
+                              proof.aux_at_zeta[a])
+            val = ext_py.add(val, ext_py.mul(g_pow,
+                                             ext_py.mul(diff, inv_xz)))
+            g_pow = ext_py.mul(g_pow, gamma)
+        for a in range(A):
+            diff = ext_py.sub(ext_py.from_base(a_open.leaf[a]),
+                              proof.aux_at_zeta_next[a])
             val = ext_py.add(val, ext_py.mul(g_pow,
                                              ext_py.mul(diff, inv_xwz)))
             g_pow = ext_py.mul(g_pow, gamma)
