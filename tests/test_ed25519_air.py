@@ -47,6 +47,31 @@ def test_trace_satisfies_constraints_int_oracle():
         assert all(v == 0 for v in vals)
 
 
+def test_squaring_chain_statement_and_constraints():
+    """chain=True proves d_final = x^(2^(n-1)) mod q; the int oracle
+    checks the selector-gated linkage constraints across row pairs."""
+    P = (1 << 64) - (1 << 32) + 1
+
+    class IntAlg:
+        add = staticmethod(lambda u, v: (u + v) % P)
+        sub = staticmethod(lambda u, v: (u - v) % P)
+        mul = staticmethod(lambda u, v: (u * v) % P)
+        constant = staticmethod(lambda v: v % P)
+
+    x = _rand256() % Q
+    air = FpMulAir(9, [(x, x)], chain=True)
+    assert air.pub_final == pow(x, 1 << 511, Q)
+    tr = air.build_trace()
+    co = air.constant_columns()
+    for r in (0, 17, air.n - 3):
+        local = [int(tr[c, r]) for c in range(air.width)]
+        nxt = [int(tr[c, r + 1]) for c in range(air.width)]
+        consts = [int(co[k, r]) for k in range(co.shape[0])]
+        vals = air.transition(IntAlg, local, nxt, air.public_inputs(),
+                              consts)
+        assert all(v == 0 for v in vals)
+
+
 @pytest.mark.skipif(os.environ.get("VECTORX_SLOW_TESTS") != "1",
                     reason="multi-minute prove; set VECTORX_SLOW_TESTS=1")
 def test_fpmul_roundtrip_and_tamper():

@@ -85,22 +85,43 @@ def mul_witness(a: int, b: int):
 
 
 class FpMulAir(Air):
-    """Batched GF(2^255−19) multiplication proofs, one per row."""
+    """Batched GF(2^255−19) multiplication proofs, one per row.
 
-    def __init__(self, log_n: int, muls: list[tuple[int, int]]):
+    With `chain=True` the rows form an iterated-squaring chain
+    a_{r+1} = b_{r+1} = d_r (enforced by degree-2 selector constraints
+    against a preprocessed chain column), and the final product is pinned
+    as a public input: the proof states d_final = x^(2^(n-1)) mod q —
+    the mechanism ed25519 decompression exponentiation and the
+    double-and-add point ladder chain through (SURVEY.md §7 hard part 4)."""
+
+    def __init__(self, log_n: int, muls: list[tuple[int, int]],
+                 chain: bool = False):
         assert log_n >= 9, "byte table needs 2^8 <= n/2"
         assert len(muls) <= (1 << log_n) - 1
         super().__init__(width=WIDTH, log_n=log_n, constraint_degree=4)
+        self.chain = chain
+        if chain:
+            assert len(muls) == 1, "chain derives all rows from muls[0]"
+            x = muls[0][0]
+            muls = [(x, x)]
+            for _ in range((1 << log_n) - 2):
+                d = (muls[-1][0] * muls[-1][1]) % Q
+                muls.append((d, d))
         self.muls = list(muls)
         a0, b0 = (muls[0] if muls else (0, 0))
         self.pub_a, self.pub_b = a0, b0
         self.pub_d = (a0 * b0) % Q
+        af, bf = (muls[-1] if muls else (0, 0))
+        self.pub_final = (af * bf) % Q
 
     # ---- framework hooks --------------------------------------------------
 
     def public_inputs(self):
-        return (_to_limbs(self.pub_a, NA) + _to_limbs(self.pub_b, NA)
-                + _to_limbs(self.pub_d, NA))
+        pub = (_to_limbs(self.pub_a, NA) + _to_limbs(self.pub_b, NA)
+               + _to_limbs(self.pub_d, NA))
+        if self.chain:
+            pub += _to_limbs(self.pub_final, NA)
+        return pub
 
     def lookups(self):
         return [Lookup(inputs=(2 * i, 2 * i + 1), table=0,
@@ -108,7 +129,11 @@ class FpMulAir(Air):
 
     def constant_columns(self):
         t = np.minimum(np.arange(self.n, dtype=np.uint64), np.uint64(255))
-        return t[None, :]
+        if not self.chain:
+            return t[None, :]
+        s = np.zeros(self.n, dtype=np.uint64)
+        s[: self.n - 2] = 1      # link rows r -> r+1 for r <= n-3
+        return np.stack([t, s])
 
     def boundaries(self, public):
         out = []
@@ -116,6 +141,9 @@ class FpMulAir(Air):
             out.append((0, COL_A + j, public[j]))
             out.append((0, COL_B + j, public[NA + j]))
             out.append((0, COL_D + j, public[2 * NA + j]))
+        if self.chain:
+            for j in range(NA):
+                out.append((self.n - 2, COL_D + j, public[3 * NA + j]))
         return out
 
     # ---- constraints ------------------------------------------------------
@@ -124,7 +152,7 @@ class FpMulAir(Air):
         from vectorx_tpu.stark.air import DeviceAlgebra
 
         if alg is DeviceAlgebra:
-            return self._transition_device(local)
+            return self._transition_device(local, nxt, consts)
         a = [local[COL_A + j] for j in range(NA)]
         b = [local[COL_B + j] for j in range(NA)]
         d = [local[COL_D + j] for j in range(NA)]
@@ -151,9 +179,14 @@ class FpMulAir(Air):
                 acc = alg.add(acc, alg.mul(alg.constant(256), cp[i]))
                 const -= 256 * OFFSET
             out.append(alg.add(acc, alg.constant(const)))
+        if self.chain:
+            s = consts[1]
+            for j in range(NA):
+                out.append(alg.mul(s, alg.sub(nxt[COL_A + j], d[j])))
+                out.append(alg.mul(s, alg.sub(nxt[COL_B + j], d[j])))
         return out
 
-    def _transition_device(self, local):
+    def _transition_device(self, local, nxt, consts):
         """Stacked device path: the a·b convolution is ONE broadcast limb
         product (32, 32, N); each coefficient identity gathers its
         anti-diagonal and tree-reduces."""
@@ -215,6 +248,17 @@ class FpMulAir(Air):
             accl, acch = gl.add(accl, acch, jnp.uint32(cc & 0xFFFFFFFF),
                                 jnp.uint32(cc >> 32))
             out.append((accl, acch))
+        if self.chain:
+            sl, sh = consts[1]
+            nal = jnp.stack([nxt[COL_A + j][0] for j in range(NA)])
+            nah = jnp.stack([nxt[COL_A + j][1] for j in range(NA)])
+            nbl = jnp.stack([nxt[COL_B + j][0] for j in range(NA)])
+            nbh = jnp.stack([nxt[COL_B + j][1] for j in range(NA)])
+            da = gl.mul(*gl.sub(nal, nah, dl, dh), sl[None, :], sh[None, :])
+            db = gl.mul(*gl.sub(nbl, nbh, dl, dh), sl[None, :], sh[None, :])
+            for j in range(NA):
+                out.append((da[0][j], da[1][j]))
+                out.append((db[0][j], db[1][j]))
         return out
 
     # ---- witness ----------------------------------------------------------
