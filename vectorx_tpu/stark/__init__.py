@@ -1,8 +1,9 @@
-from vectorx_tpu.stark.air import Air, DeviceAlgebra, ExtAlgebra, FibonacciAir
+from vectorx_tpu.stark.air import (Air, DeviceAlgebra, ExtAlgebra,
+                                   FibonacciAir, Lookup)
 from vectorx_tpu.stark.prover import StarkConfig, StarkProof, preprocess, prove
 from vectorx_tpu.stark.verifier import verify
 
-__all__ = ["Air", "DeviceAlgebra", "ExtAlgebra", "FibonacciAir",
+__all__ = ["Air", "DeviceAlgebra", "ExtAlgebra", "FibonacciAir", "Lookup",
            "StarkConfig", "StarkProof", "preprocess", "prove", "verify"]
 
 
@@ -17,4 +18,10 @@ def __getattr__(name):
     if name == "Blake2bAir":
         from vectorx_tpu.stark.blake2b_air import Blake2bAir
         return Blake2bAir
+    if name == "FpMulAir":
+        from vectorx_tpu.stark.ed25519_air import FpMulAir
+        return FpMulAir
+    if name == "RangeCheckAir":
+        from vectorx_tpu.stark.range_air import RangeCheckAir
+        return RangeCheckAir
     raise AttributeError(name)
