@@ -53,6 +53,23 @@ WIDTH = 384
 OFFSET = 1 << 15               # carry offset: c' = c + 2^15 ∈ [0, 2^16)
 
 
+def _diag_indices(rows: int, cols: int):
+    """(U, V, mask) of shape (64, rows) gathering the anti-diagonals of a
+    (rows, cols) limb-product array: coefficient i sums entries (u, i−u)."""
+    U = np.zeros((64, rows), dtype=np.int32)
+    V = np.zeros((64, rows), dtype=np.int32)
+    M = np.zeros((64, rows), dtype=bool)
+    for i in range(64):
+        us = range(max(0, i - cols + 1), min(rows - 1, i) + 1)
+        for j, u in enumerate(us):
+            U[i, j], V[i, j], M[i, j] = u, i - u, True
+    return U, V, M
+
+
+_AB_IDX = _diag_indices(NA, NA)
+_KQ_IDX = _diag_indices(NK, NA)
+
+
 def _to_limbs(x: int, count: int) -> list[int]:
     return [(x >> (8 * i)) & 0xFF for i in range(count)]
 
@@ -210,44 +227,41 @@ class FpMulAir(Air):
                     jnp.asarray((qv & 0xFFFFFFFF).astype(np.uint32))[None, :, None],
                     jnp.zeros((1, NA, 1), dtype=jnp.uint32))
 
-        def tree(pl, ph):
-            while pl.shape[0] > 1:
-                half = pl.shape[0] // 2
-                sl, sh = gl.add(pl[:half], ph[:half],
-                                pl[half:2 * half], ph[half:2 * half])
-                if pl.shape[0] % 2:
-                    sl = jnp.concatenate([sl, pl[-1:]], axis=0)
-                    sh = jnp.concatenate([sh, ph[-1:]], axis=0)
+        def tree_axis1(pl, ph):
+            while pl.shape[1] > 1:
+                half = pl.shape[1] // 2
+                sl, sh = gl.add(pl[:, :half], ph[:, :half],
+                                pl[:, half:2 * half], ph[:, half:2 * half])
+                if pl.shape[1] % 2:
+                    sl = jnp.concatenate([sl, pl[:, -1:]], axis=1)
+                    sh = jnp.concatenate([sh, ph[:, -1:]], axis=1)
                 pl, ph = sl, sh
-            return pl[0], ph[0]
+            return pl[:, 0], ph[:, 0]
 
-        out = []
-        N = local[0][0].shape
-        for i in range(64):
-            us = list(range(max(0, i - NA + 1), min(NA - 1, i) + 1))
-            if us:
-                accl, acch = tree(ab[0][us, [i - u for u in us]],
-                                  ab[1][us, [i - u for u in us]])
-            else:  # i = 63: the a·b convolution tops out at degree 62
-                accl, acch = jnp.zeros(N, jnp.uint32), jnp.zeros(N, jnp.uint32)
-            uk = list(range(max(0, i - NA + 1), min(NK - 1, i) + 1))
-            sl, sh = tree(kq[0][uk, [i - u for u in uk]],
-                          kq[1][uk, [i - u for u in uk]])
-            accl, acch = gl.sub(accl, acch, sl, sh)
-            if i < NA:
-                accl, acch = gl.sub(accl, acch, dl[i], dh[i])
-            const = 0
-            if i > 0:
-                accl, acch = gl.sub(accl, acch, cpl[i - 1], cph[i - 1])
-                const += OFFSET
-            if i < NC:
-                accl, acch = gl.add(accl, acch,
-                                    *gl.mul_small(cpl[i], cph[i], 256))
-                const -= 256 * OFFSET
-            cc = const % gl.P
-            accl, acch = gl.add(accl, acch, jnp.uint32(cc & 0xFFFFFFFF),
-                                jnp.uint32(cc >> 32))
-            out.append((accl, acch))
+        def diag_sum(prod, idx):
+            """All 64 anti-diagonal sums at once: one masked gather to
+            (64, rows, N), one log-depth reduction."""
+            U, V, M = idx
+            mask = jnp.asarray(M)[:, :, None]
+            return tree_axis1(jnp.where(mask, prod[0][U, V], 0),
+                              jnp.where(mask, prod[1][U, V], 0))
+
+        pl_, ph_ = gl.sub(*diag_sum(ab, _AB_IDX), *diag_sum(kq, _KQ_IDX))
+        zero32 = jnp.zeros_like(dl)
+        pl_, ph_ = gl.sub(pl_, ph_, jnp.concatenate([dl, zero32]),
+                          jnp.concatenate([dh, zero32]))
+        zrow = jnp.zeros_like(cpl[:1])
+        pl_, ph_ = gl.sub(pl_, ph_, jnp.concatenate([zrow, cpl]),
+                          jnp.concatenate([zrow, cph]))
+        c256 = gl.mul_small(cpl, cph, 256)
+        pl_, ph_ = gl.add(pl_, ph_, jnp.concatenate([c256[0], zrow]),
+                          jnp.concatenate([c256[1], zrow]))
+        consts_i = np.array(
+            [((OFFSET if i > 0 else 0) - (256 * OFFSET if i < NC else 0))
+             % gl.P for i in range(64)], dtype=np.uint64)
+        cl_, ch_ = gl.from_u64(consts_i)
+        pl_, ph_ = gl.add(pl_, ph_, cl_[:, None], ch_[:, None])
+        out = [(pl_[i], ph_[i]) for i in range(64)]
         if self.chain:
             sl, sh = consts[1]
             nal = jnp.stack([nxt[COL_A + j][0] for j in range(NA)])
