@@ -107,6 +107,67 @@ def test_rotate_rejects_wrong_current_hash():
         circuit.run(inp, CHAIN)
 
 
+def test_justification_rejects_tail_entries_beyond_authority_set():
+    """ADVICE.md finding: attacker-keyed entries at indices >=
+    num_authorities must not count toward the 2/3 threshold."""
+    import dataclasses
+
+    from vectorx_tpu.circuits.justification import (JustificationError,
+                                                    verify_simple_justification)
+    from vectorx_tpu.curves import ed25519
+
+    j = CHAIN.get_justification(20)
+    args = (20, CHAIN.get_block_hash(20), 0,
+            chained_hash(CHAIN.era_pubkeys(0)))
+    verify_simple_justification(j, *args)  # sanity: valid as fetched
+
+    attacker = b"\x66" * 32
+    bad = dataclasses.replace(
+        j,
+        validator_signed=list(j.validator_signed) + [True],
+        pubkeys=list(j.pubkeys) + [ed25519.public_key(attacker)],
+        signatures=list(j.signatures) + [ed25519.sign(attacker,
+                                                      j.signed_message)])
+    with pytest.raises(JustificationError):
+        verify_simple_justification(bad, *args)
+
+    # mismatched array lengths must also reject
+    bad2 = dataclasses.replace(j, signatures=list(j.signatures) + [b"\x00" * 64])
+    with pytest.raises(JustificationError):
+        verify_simple_justification(bad2, *args)
+
+    # num_authorities beyond the witness arrays must reject
+    bad3 = dataclasses.replace(j, num_authorities=len(j.pubkeys) + 1)
+    with pytest.raises(JustificationError):
+        verify_simple_justification(bad3, *args)
+
+
+def test_epoch_end_scan_bounded_by_header_size():
+    """ADVICE.md finding: the consensus-log scan must not match bytes past
+    header_size (only header_bytes[:header_size] is blake2b-attested)."""
+    from vectorx_tpu.circuits.rotate import RotateError, verify_epoch_end_header
+
+    rd = CHAIN.get_header_rotate(24, max_authorities=8,
+                                 max_header_size=4096)
+    verify_epoch_end_header(rd.header_bytes, rd.header_size,
+                            rd.num_authorities, rd.start_position,
+                            rd.padded_pubkeys, 8)  # sanity: valid
+
+    # truncate the attested region to the middle of the validator list:
+    # the scan would only succeed by reading unattested padding bytes
+    cut = rd.start_position + 8
+    with pytest.raises(RotateError):
+        verify_epoch_end_header(rd.header_bytes, cut, rd.num_authorities,
+                                rd.start_position, rd.padded_pubkeys, 8)
+
+    # more authorities than the circuit bound must reject, not skip checks
+    with pytest.raises(RotateError):
+        verify_epoch_end_header(rd.header_bytes, rd.header_size,
+                                rd.num_authorities, rd.start_position,
+                                rd.padded_pubkeys,
+                                max_authorities=rd.num_authorities - 1)
+
+
 def test_abi_golden_vector_shapes():
     """Parse the reference's checked-in dummy golden vector inputs
     (dummy_header_range.rs:66, dummy_rotate.rs:43) — offsets must match."""

@@ -69,6 +69,34 @@ def test_fri_rejects_high_degree():
         prove_low_degree(code, log_len, gl.GENERATOR, CFG, Challenger())
 
 
+def test_fri_rejects_wrong_proof_shape():
+    """ADVICE.md high finding: a prover sending caps=[] plus the FULL
+    interpolation of an arbitrary codeword as final_coeffs must be rejected
+    by proof-shape validation (otherwise the low-degree bound is void)."""
+    from vectorx_tpu.fri.fri import FriProof, fri_replay
+    from vectorx_tpu.ntt import coset_intt
+
+    log_len = 8
+    n = 1 << log_len
+    c0 = np.random.default_rng(11).integers(0, P, size=n, dtype=np.uint64)
+    c1 = np.random.default_rng(12).integers(0, P, size=n, dtype=np.uint64)
+    # full coefficient interpolation of a random (high-degree) codeword
+    f0 = gl.to_u64(*coset_intt(*gl.from_u64(c0), shift=gl.GENERATOR))
+    f1 = gl.to_u64(*coset_intt(*gl.from_u64(c1), shift=gl.GENERATOR))
+    forged = FriProof(
+        caps=[], final_coeffs=[(int(a), int(b)) for a, b in zip(f0, f1)],
+        pow_witness=0, query_rounds=[])
+    assert fri_replay(forged, log_len, CFG, Challenger()) is None
+    assert not fri_verify(forged, log_len, gl.GENERATOR, CFG, Challenger())
+
+    # honest proof with one fold layer stripped must also fail the replay
+    code = make_codeword(5, CFG.rate_bits, seed=13)
+    proof = prove_low_degree(code, 5 + CFG.rate_bits, gl.GENERATOR, CFG,
+                             Challenger())
+    proof.caps = proof.caps[:-1]
+    assert fri_replay(proof, 5 + CFG.rate_bits, CFG, Challenger()) is None
+
+
 def test_fri_pow_grinding():
     cfg = FriConfig(rate_bits=3, cap_height=0, num_queries=4,
                     final_poly_len=4, pow_bits=4)

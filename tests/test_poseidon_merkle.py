@@ -54,10 +54,17 @@ def test_merkle_tree_roundtrip():
         for idx in (0, 5, n - 1):
             path = tree.open(idx)
             leaf = [int(x) for x in leaves[idx]]
-            assert merkle.verify_path(leaf, idx, path, cap)
+            assert merkle.verify_path(leaf, idx, path, cap, num_leaves=n)
             bad = list(leaf)
             bad[0] = (bad[0] + 1) % P
-            assert not merkle.verify_path(bad, idx, path, cap)
+            assert not merkle.verify_path(bad, idx, path, cap, num_leaves=n)
+            # malformed shapes must reject, not raise (ADVICE.md)
+            assert not merkle.verify_path(leaf, idx, path[:-1], cap,
+                                          num_leaves=n)
+            assert not merkle.verify_path(leaf, idx, path + [path[0]], cap,
+                                          num_leaves=n)
+            assert not merkle.verify_path(leaf, idx + n, path, cap,
+                                          num_leaves=n)
 
 
 def test_short_leaf_noop_hash():

@@ -56,6 +56,19 @@ def verify_simple_justification(justification: JustificationData,
     accelerator (`curves/ed25519_batch.py` — the
     curta_eddsa_verify_sigs_conditional equivalent)."""
     j = justification
+    # shape bounds: entries at indices >= num_authorities are outside the
+    # committed authority set and must not be counted or verified (the
+    # reference fixes arrays at MAX_NUM_AUTHORITIES and masks by num_active;
+    # unbounded lists would let attacker-keyed tail entries inflate the
+    # voting threshold — ADVICE.md finding)
+    if not (len(j.validator_signed) == len(j.pubkeys) == len(j.signatures)):
+        raise JustificationError("witness array length mismatch")
+    if j.num_authorities <= 0 or j.num_authorities > len(j.pubkeys):
+        raise JustificationError("num_authorities out of range")
+    if any(j.validator_signed[i] for i in range(j.num_authorities,
+                                                len(j.validator_signed))):
+        raise JustificationError(
+            "signature marked outside the active authority set")
     commitment = compute_authority_set_commitment(j.num_authorities, j.pubkeys)
     if commitment != authority_set_hash:
         raise JustificationError("authority set hash mismatch")

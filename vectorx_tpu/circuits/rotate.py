@@ -35,11 +35,25 @@ def verify_epoch_end_header(header_bytes: bytes, header_size: int,
                             num_authorities: int, start_position: int,
                             new_pubkeys: list[bytes],
                             max_authorities: int) -> None:
-    """rotate.rs:169-276 — all checks on the encoded epoch-end header."""
+    """rotate.rs:169-276 — all checks on the encoded epoch-end header.
+
+    The scan is bounded by `header_size`: the justification only binds
+    blake2b(header_bytes[:header_size]), so bytes past it are unattested
+    (the reference masks by the subarray end position, rotate.rs:194).
+    """
     if num_authorities == 0:
         raise RotateError("num_authorities must be non-zero")
+    if num_authorities > max_authorities:
+        raise RotateError(
+            f"num_authorities {num_authorities} > max {max_authorities}")
+    if len(new_pubkeys) < num_authorities:
+        raise RotateError("fewer pubkeys than num_authorities")
+    if not 0 <= start_position <= header_size <= len(header_bytes):
+        raise RotateError("scan window outside the hashed header region")
 
-    sub = header_bytes[start_position:]
+    sub = header_bytes[start_position:header_size]
+    if len(sub) < 8:
+        raise RotateError("scan window too short for a consensus log")
     # verify_consensus_log (rotate.rs:74-94): skip 1 byte, flag, engine id
     if sub[1] != 4:
         raise RotateError("missing consensus flag 0x04")
@@ -48,22 +62,33 @@ def verify_epoch_end_header(header_bytes: bytes, header_size: int,
 
     # scheduled-change message length + flag (rotate.rs:96-136)
     cursor = 6
-    _msg_len, mode, consumed = scale.compact_decode(sub[cursor:cursor + 5])
+    try:
+        _msg_len, mode, consumed = scale.compact_decode(sub[cursor:cursor + 5])
+    except Exception as e:
+        raise RotateError(f"bad scheduled-change length encoding: {e}")
     cursor += consumed
+    if cursor >= len(sub):
+        raise RotateError("scan window ends inside the consensus log")
     if sub[cursor] != 1:
         raise RotateError("missing ScheduledChange flag 0x01")
     cursor += 1
 
     # encoded authority count (rotate.rs:138-167)
-    count, _mode, consumed = scale.compact_decode(sub[cursor:cursor + 5])
+    try:
+        count, _mode, consumed = scale.compact_decode(sub[cursor:cursor + 5])
+    except Exception as e:
+        raise RotateError(f"bad authority count encoding: {e}")
     if count != num_authorities:
         raise RotateError(
             f"encoded authority count {count} != hinted {num_authorities}")
     cursor += consumed
 
-    # per-validator scan over the fixed window (rotate.rs:169-276)
+    # per-validator scan over the fixed window (rotate.rs:169-276), fully
+    # inside the hashed region: window ends at header_size by construction
     window = sub[cursor:]
-    for i in range(min(max_authorities, num_authorities)):
+    if num_authorities * VALIDATOR_LENGTH + 4 > len(window):
+        raise RotateError("validator list extends past the hashed region")
+    for i in range(num_authorities):
         off = i * VALIDATOR_LENGTH
         pk = window[off:off + 32]
         if pk != new_pubkeys[i]:

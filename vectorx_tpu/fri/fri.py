@@ -44,7 +44,15 @@ class FriConfig:
     cap_height: int = 1
     num_queries: int = 28
     final_poly_len: int = 8  # coefficients of the last polynomial
-    pow_bits: int = 0
+    # 16 grinding bits + 28 queries at rate 1/8 ≈ plonky2's standard-config
+    # ~100-bit conjectured security (the reference default).
+    pow_bits: int = 16
+
+    def num_fold_layers(self, log_len: int) -> int:
+        """Fold-layer count implied by the codeword length: halve until
+        `final_poly_len << rate_bits` values remain."""
+        assert self.final_poly_len & (self.final_poly_len - 1) == 0
+        return log_len - self.rate_bits - self.final_poly_len.bit_length() + 1
 
 
 @dataclass
@@ -152,17 +160,37 @@ def fri_prove(codeword, log_len: int, shift: int, config: FriConfig,
 def _grind(challenger: Challenger, pow_bits: int) -> int:
     """Find a nonce whose response challenge has pow_bits leading zero bits.
     Consumes (observe nonce + one challenge) on the main transcript, exactly
-    as the verifier replays it."""
-    nonce = 0
+    as the verifier replays it.
+
+    The search runs as batched device Poseidon permutations: for a pending
+    input buffer of k < RATE elements, the trial response for nonce x is
+    permute(state with lanes [0,k) overwritten by the buffer and lane k by
+    x)[RATE-1] — the exact duplex the host transcript would perform."""
+    if pow_bits == 0:
+        challenger.observe(0)
+        challenger.get_challenge()
+        return 0
+    from vectorx_tpu.hash import poseidon as pv
+
+    k = len(challenger.input_buf)
+    base = list(challenger.state)
+    base[:k] = challenger.input_buf
+    batch = 1 << min(pow_bits + 2, 17)
+    start = 0
     while True:
-        trial = challenger.copy()
-        trial.observe(nonce)
-        c = trial.get_challenge()
-        if pow_bits == 0 or (c >> (64 - pow_bits)) == 0:
+        nonces = np.arange(start, start + batch, dtype=np.uint64)
+        states = np.tile(np.array(base, dtype=np.uint64), (batch, 1))
+        states[:, k] = nonces
+        ol, oh = pv.permute(*gl.from_u64(states))
+        out = np.asarray(gl.to_u64(ol, oh))[:, pv.RATE - 1]
+        hits = np.nonzero((out >> np.uint64(64 - pow_bits)) == 0)[0]
+        if hits.size:
+            nonce = int(nonces[hits[0]])
             challenger.observe(nonce)
-            challenger.get_challenge()
+            response = challenger.get_challenge()
+            assert (response >> (64 - pow_bits)) == 0
             return nonce
-        nonce += 1
+        start += batch
 
 
 def derive_query_indices(challenger: Challenger, log_len: int, num: int):
@@ -197,7 +225,21 @@ def open_query(layers, codewords, index: int) -> FriQueryRound:
 def fri_replay(proof: FriProof, log_len: int, config: FriConfig,
                challenger: Challenger):
     """Replay the FRI transcript.  Returns (betas, indices) or None if the
-    proof-of-work response fails."""
+    proof shape mismatches the config or the proof-of-work response fails.
+
+    The shape checks are soundness-critical: without them a prover could
+    send zero fold layers and the full interpolation of an arbitrary
+    high-degree codeword as `final_coeffs`, voiding the low-degree bound
+    (plonky2's verifier performs the same validation)."""
+    if len(proof.final_coeffs) != config.final_poly_len:
+        return None
+    if len(proof.caps) != config.num_fold_layers(log_len):
+        return None
+    for layer_i, cap in enumerate(proof.caps):
+        # fold layer i commits pair-leaves of the 2^(log_len-i) codeword:
+        # a tree over 2^(log_len-i-1) leaves with the configured cap
+        if len(cap) != 1 << min(config.cap_height, log_len - layer_i - 1):
+            return None
     betas = []
     for cap in proof.caps:
         challenger.observe_cap(cap)
@@ -242,7 +284,8 @@ def fri_check_queries(proof: FriProof, betas, indices, log_len: int,
             h = 1 << (cur_log - 1)
             i = idx % h
             leaf = step.pair
-            if not merkle.verify_path(leaf, i, step.path, proof.caps[layer_i]):
+            if not merkle.verify_path(leaf, i, step.path, proof.caps[layer_i],
+                                      num_leaves=h):
                 return False
             v_lo = (leaf[0], leaf[1])
             v_hi = (leaf[2], leaf[3])

@@ -77,10 +77,26 @@ def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
 
 
 def verify_path(leaf_ints: list[int], index: int, path: list[list[int]],
-                cap_ints: list[list[int]]) -> bool:
-    """Host-side verification of a Merkle opening against a cap."""
+                cap_ints: list[list[int]], num_leaves: int) -> bool:
+    """Host-side verification of a Merkle opening against a cap.
+
+    `num_leaves` pins the tree height: a prover-chosen path length would
+    otherwise shift which cap slot gets compared (or index out of range),
+    weakening Merkle binding.  Malformed proofs return False, never raise."""
     from vectorx_tpu.hash import poseidon_py
 
+    if num_leaves <= 0 or num_leaves & (num_leaves - 1):
+        return False
+    height = num_leaves.bit_length() - 1
+    cap_height = len(cap_ints).bit_length() - 1
+    if len(cap_ints) != 1 << cap_height or cap_height > height:
+        return False
+    if len(path) != height - cap_height:
+        return False
+    if not 0 <= index < num_leaves:
+        return False
+    if any(len(sib) != poseidon.DIGEST for sib in path):
+        return False
     if len(leaf_ints) <= poseidon.DIGEST:
         digest = list(leaf_ints) + [0] * (poseidon.DIGEST - len(leaf_ints))
     else:

@@ -132,22 +132,22 @@ def verify(air: Air, proof: StarkProof,
         if len(t_open.leaf) != W or len(q_open.leaf) != 2 * chunks:
             return False
         if not merkle.verify_path(t_open.leaf, q, t_open.path,
-                                  proof.trace_cap):
+                                  proof.trace_cap, num_leaves=N):
             return False
         if not merkle.verify_path(q_open.leaf, q, q_open.path,
-                                  proof.quotient_cap):
+                                  proof.quotient_cap, num_leaves=N):
             return False
         c_open = None
         if K:
             c_open = proof.constants_openings[qi]
             if len(c_open.leaf) != K or not merkle.verify_path(
-                    c_open.leaf, q, c_open.path, const_cap):
+                    c_open.leaf, q, c_open.path, const_cap, num_leaves=N):
                 return False
         a_open = None
         if lookups:
             a_open = proof.aux_openings[qi]
             if len(a_open.leaf) != A or not merkle.verify_path(
-                    a_open.leaf, q, a_open.path, proof.aux_cap):
+                    a_open.leaf, q, a_open.path, proof.aux_cap, num_leaves=N):
                 return False
         x_q = (gl.GENERATOR * pow(w8, q, P)) % P
         inv_xz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), zeta))
