@@ -51,8 +51,7 @@ def test_sha256_zk_proof_roundtrip_and_tamper():
     proof = prove(air, air.build_trace(), CFG)
     assert verify(air, proof, CFG)
     bad = Sha256CompressAir(pad_single(b"abc"))
-    bad.digest = list(bad.digest)
-    bad.digest[0] ^= 1
+    bad.digests[0][0] ^= 1
     assert not verify(bad, proof, CFG)
     bad2 = Sha256CompressAir(pad_single(b"abd"))
     assert not verify(bad2, proof, CFG)
@@ -72,9 +71,33 @@ def test_statement_constructor_is_hash_free():
     claimed = b"\xab" * 32
     air = Sha256Air.statement(b"hello world", claimed)
     assert air.digest_bytes() == claimed  # takes the claim verbatim
-    assert air.public_inputs()[-8:] == [int.from_bytes(claimed[4*i:4*i+4],
-                                                       "big")
-                                        for i in range(8)]
+    # the claim lands in the preprocessed digest columns
+    cc = air.constant_columns()
+    drow = air.bases[0] + 65 * len(air.msg_blocks[0])
+    from vectorx_tpu.stark.sha256_air import _CONST
+    assert cc[_CONST["sel_digest"], drow] == 1
+    assert [int(cc[_CONST[f"dig{i}"], drow]) for i in range(8)] == \
+        [int.from_bytes(claimed[4 * i:4 * i + 4], "big") for i in range(8)]
+
+
+def test_batched_multi_message_roundtrip():
+    """Many independent messages in ONE trace (VERDICT round-2 item 3)."""
+    from vectorx_tpu.stark.sha256_air import Sha256Air
+
+    msgs = [b"abc", b"m" * 70, b"", bytes(range(64))]
+    air = Sha256Air(msgs)
+    exp = [hashlib.sha256(m).digest() for m in msgs]
+    assert air.digest_bytes_list() == exp
+    proof = prove(air, air.build_trace(), CFG)
+    assert verify(air, proof, CFG)
+    stmt = Sha256Air.statement(msgs, exp)
+    assert verify(stmt, proof, CFG)
+    bad = exp.copy()
+    bad[1] = b"\x00" * 32
+    assert not verify(Sha256Air.statement(msgs, bad), proof, CFG)
+    bad_msgs = list(msgs)
+    bad_msgs[0] = b"abd"
+    assert not verify(Sha256Air.statement(bad_msgs, exp), proof, CFG)
 
 
 def test_zk_authority_commitment_single_key():

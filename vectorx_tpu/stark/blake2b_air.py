@@ -1,4 +1,5 @@
-"""Blake2b-256 AIR: proves digest = Blake2b256(message) in zero knowledge.
+"""Blake2b-256 AIR: proves digest_i = Blake2b256(message_i) for a BATCH
+of independent messages in one trace.
 
 The TPU-native counterpart of the reference's curta Blake2b STARK — the
 Avail header-hash gadget (`curta_blake2b_variable`,
@@ -20,14 +21,17 @@ Arithmetization — one HALF-ROUND per row (column phase / diagonal phase),
   section, initialized/finalized with XOR constraints (h' = h ⊕ v_low ⊕
   v_high at the handoff row);
 * the 16 message words are 32 limb columns (copy-constrained within a
-  section, pinned to the public inputs by boundaries); σ-routing is done
-  with 0/1 selector-constant columns (part of the committed verification
-  key), so each G's x/y operands are Σ_w sel·m_w;
+  section, pinned at each section-start row to preprocessed `mc` message
+  columns); σ-routing is done with 0/1 selector-constant columns (part of
+  the committed verification key), so each G's x/y operands are Σ_w sel·m_w;
 * the block counter t and finalization flag are constants per section
   (the message length is public).
 
-Public inputs: 32·k message limb words + 8 digest limbs (the first 32
-bytes of the final h, little-endian per Blake2b).
+STATEMENT BINDING: messages and claimed digests live in preprocessed
+columns (`mc*`, `dg*`, `sel_msgstart`, `sel_digest`) exactly as in
+sha256_air — the verifier derives the constants commitment from the
+statement itself, so a proof only verifies against the exact batch of
+(message, digest) pairs it was built for.
 """
 
 from __future__ import annotations
@@ -100,11 +104,26 @@ WIDTH = len(_COLS)
 
 _CONST_NAMES = (["sel_col", "sel_diag", "sel_state", "sel_hcopy",
                  "sel_mcopy", "sel_init", "sel_final",
-                 "v12init_lo", "v12init_hi", "v14init_lo", "v14init_hi"]
+                 "v12init_lo", "v12init_hi", "v14init_lo", "v14init_hi",
+                 # statement binding (batched statements live in the
+                 # preprocessed columns — see sha256_air module docstring)
+                 "sel_msgstart", "sel_digest"]
+                + [f"mc{w}{p}" for w in range(16) for p in ("lo", "hi")]
+                + [f"dg{w}{p}" for w in range(4) for p in ("lo", "hi")]
                 + [f"sig{g}_{op}_{w}" for g in range(4) for op in (0, 1)
                    for w in range(16)])
 _CONST = {n: i for i, n in enumerate(_CONST_NAMES)}
 N_CONST = len(_CONST)
+
+# parameterized IV (digest_size=32, no key) — the chain start of every message
+_H0 = list(_IV)
+_H0[0] ^= 0x01010000 ^ 32
+
+
+def _as_messages(messages) -> list[bytes]:
+    if isinstance(messages, (bytes, bytearray)):
+        return [bytes(messages)]
+    return [bytes(m) for m in messages]
 
 
 def _vbits(cols, w):
@@ -123,21 +142,42 @@ def _hbits(cols, w):
 
 
 class Blake2bAir(Air):
-    """Blake2b-256 (digest_size=32, no key) of a message."""
+    """Blake2b-256 (digest_size=32, no key) of a batch of messages.
+    Pass a single `bytes` or a list of them."""
 
-    def __init__(self, message: bytes):
-        self.message = message
-        self.blocks = blake2b_pad(message)
-        k = len(self.blocks)
-        log_n = max(5, (SECTION * k).bit_length())
-        super().__init__(width=WIDTH, log_n=log_n, constraint_degree=4)
-        self.msg_words = [int.from_bytes(b[8 * w:8 * w + 8], "little")
-                          for b in self.blocks for w in range(16)]
+    def __init__(self, messages):
+        self.messages = _as_messages(messages)
+        self._shape()
+        super().__init__(width=WIDTH, log_n=self._log_n,
+                         constraint_degree=4)
         self._run()
+
+    def _shape(self):
+        assert self.messages
+        self.msg_blocks = [blake2b_pad(m) for m in self.messages]
+        self.bases = []
+        row = 0
+        for blocks in self.msg_blocks:
+            self.bases.append(row)
+            row += SECTION * len(blocks) + 1   # sections + digest row
+        self.total_rows = row
+        # n ≥ total_rows + 1 keeps every digest row out of the masked
+        # last transition row
+        self._log_n = max(5, self.total_rows.bit_length())
+
+    @property
+    def message(self) -> bytes:
+        assert len(self.messages) == 1
+        return self.messages[0]
+
+    @property
+    def blocks(self) -> list[bytes]:
+        assert len(self.messages) == 1
+        return self.msg_blocks[0]
 
     @property
     def num_blocks(self):
-        return len(self.blocks)
+        return sum(len(b) for b in self.msg_blocks)
 
     # -- reference computation / witness ------------------------------------
 
@@ -145,27 +185,35 @@ class Blake2bAir(Air):
     def _rotr(x, n):
         return ((x >> n) | (x << (64 - n))) & ((1 << 64) - 1)
 
-    def _t_for(self, s: int) -> int:
-        """Byte counter after block s (Blake2b semantics: min(128·(s+1),
-        len) for the last block, 128·(s+1) otherwise)."""
-        if s == self.num_blocks - 1:
-            return len(self.message) if self.message else 0
+    def _t_for(self, mi: int, s: int) -> int:
+        """Byte counter after block s of message mi (Blake2b semantics:
+        message length for the last block, 128·(s+1) otherwise)."""
+        if s == len(self.msg_blocks[mi]) - 1:
+            return len(self.messages[mi]) if self.messages[mi] else 0
         return 128 * (s + 1)
 
     def _run(self):
+        self._per_msg = []   # per message: (rows, inters, carries, chains)
+        self.msg_digest_words = []
+        for mi in range(len(self.messages)):
+            self._run_message(mi)
+        self.digest_words = self.msg_digest_words[-1] \
+            if len(self.messages) == 1 else None
+
+    def _run_message(self, mi: int):
         M64 = (1 << 64) - 1
-        h = list(_IV)
-        h[0] ^= 0x01010000 ^ 32   # digest_size = 32
-        self._chains = [list(h)]
-        self._rows = []           # per section: list of 25 v-state snapshots
-        self._inters = []         # per section: per row, per g, (a1,d1,c1,b1)
-        self._carries = []        # per section: per row, per g, 4 (lo,hi)
-        for s, blk in enumerate(self.blocks):
+        h = list(_H0)
+        chains = [list(h)]
+        m_rows = []           # per section: list of 25 v-state snapshots
+        m_inters = []         # per section: per row, per g, (a1,d1,c1,b1)
+        m_carries = []        # per section: per row, per g, 4 (lo,hi)
+        blocks = self.msg_blocks[mi]
+        for s, blk in enumerate(blocks):
             m = [int.from_bytes(blk[8 * w:8 * w + 8], "little")
                  for w in range(16)]
             v = h[:8] + list(_IV)
-            v[12] ^= self._t_for(s) & M64
-            is_last = (s == self.num_blocks - 1)
+            v[12] ^= self._t_for(mi, s) & M64
+            is_last = (s == len(blocks) - 1)
             if is_last:
                 v[14] ^= M64
             states = [list(v)]
@@ -208,83 +256,77 @@ class Blake2bAir(Air):
                 inters.append(row_inters)
                 carries.append(row_carries)
             h = [(hv ^ v[i] ^ v[i + 8]) for i, hv in enumerate(h)]
-            self._chains.append(list(h))
-            self._rows.append(states)
-            self._inters.append(inters)
-            self._carries.append(carries)
-        self.digest_words = self._chains[-1][:4]
+            chains.append(list(h))
+            m_rows.append(states)
+            m_inters.append(inters)
+            m_carries.append(carries)
+        self._per_msg.append((m_rows, m_inters, m_carries, chains))
+        self.msg_digest_words.append(chains[-1][:4])
 
     def digest_bytes(self) -> bytes:
+        assert len(self.messages) == 1
         return b"".join(int.to_bytes(x, 8, "little")
-                        for x in self.digest_words)
+                        for x in self.msg_digest_words[0])
+
+    def digest_bytes_list(self) -> list[bytes]:
+        return [b"".join(int.to_bytes(x, 8, "little") for x in d)
+                for d in self.msg_digest_words]
 
     # -- AIR interface ------------------------------------------------------
 
     def public_inputs(self):
-        out = []
-        for w in self.msg_words:
-            out.append(w & 0xFFFFFFFF)
-            out.append(w >> 32)
-        for dw in self.digest_words:
-            out.append(dw & 0xFFFFFFFF)
-            out.append(dw >> 32)
-        return out
+        # the statement lives in the preprocessed columns (see the
+        # sha256_air module docstring); the constants cap binds it
+        return [len(self.messages)]
 
     def constant_columns(self):
         cols = np.zeros((N_CONST, self.n), dtype=np.uint64)
-        for s in range(self.num_blocks):
-            base = s * SECTION
-            for hr in range(24):
-                r = base + hr
-                cols[_CONST["sel_col" if hr % 2 == 0 else "sel_diag"], r] = 1
-                rnd = hr // 2
-                sig = _SIGMA[rnd]
-                off = 0 if hr % 2 == 0 else 8
-                for g in range(4):
-                    cols[_CONST[f"sig{g}_0_{sig[off + 2 * g]}"], r] = 1
-                    cols[_CONST[f"sig{g}_1_{sig[off + 2 * g + 1]}"], r] = 1
-            for r in range(25):
-                cols[_CONST["sel_state"], base + r] = 1
-            for r in range(24):
-                cols[_CONST["sel_hcopy"], base + r] = 1
-                cols[_CONST["sel_mcopy"], base + r] = 1
-            cols[_CONST["sel_init"], base] = 1
-            cols[_CONST["sel_final"], base + 24] = 1
-            # precomputed t/f-injected IV words for this section
-            v12 = _IV[4] ^ self._t_for(s)
-            v14 = _IV[6] ^ ((1 << 64) - 1) if s == self.num_blocks - 1 \
-                else _IV[6]
-            cols[_CONST["v12init_lo"], base] = v12 & 0xFFFFFFFF
-            cols[_CONST["v12init_hi"], base] = v12 >> 32
-            cols[_CONST["v14init_lo"], base] = v14 & 0xFFFFFFFF
-            cols[_CONST["v14init_hi"], base] = v14 >> 32
+        for mi, blocks in enumerate(self.msg_blocks):
+            mbase = self.bases[mi]
+            for s, blk in enumerate(blocks):
+                base = mbase + s * SECTION
+                for hr in range(24):
+                    r = base + hr
+                    cols[_CONST["sel_col" if hr % 2 == 0 else "sel_diag"],
+                         r] = 1
+                    rnd = hr // 2
+                    sig = _SIGMA[rnd]
+                    off = 0 if hr % 2 == 0 else 8
+                    for g in range(4):
+                        cols[_CONST[f"sig{g}_0_{sig[off + 2 * g]}"], r] = 1
+                        cols[_CONST[f"sig{g}_1_{sig[off + 2 * g + 1]}"], r] = 1
+                for r in range(25):
+                    cols[_CONST["sel_state"], base + r] = 1
+                for r in range(24):
+                    cols[_CONST["sel_hcopy"], base + r] = 1
+                    cols[_CONST["sel_mcopy"], base + r] = 1
+                cols[_CONST["sel_init"], base] = 1
+                cols[_CONST["sel_final"], base + 24] = 1
+                # precomputed t/f-injected IV words for this section
+                v12 = _IV[4] ^ self._t_for(mi, s)
+                v14 = _IV[6] ^ ((1 << 64) - 1) if s == len(blocks) - 1 \
+                    else _IV[6]
+                cols[_CONST["v12init_lo"], base] = v12 & 0xFFFFFFFF
+                cols[_CONST["v12init_hi"], base] = v12 >> 32
+                cols[_CONST["v14init_lo"], base] = v14 & 0xFFFFFFFF
+                cols[_CONST["v14init_hi"], base] = v14 >> 32
+                # statement: the section's message limbs, bound to the M
+                # witness columns at the section-start row
+                for w in range(16):
+                    mw = int.from_bytes(blk[8 * w:8 * w + 8], "little")
+                    cols[_CONST[f"mc{w}lo"], base] = mw & 0xFFFFFFFF
+                    cols[_CONST[f"mc{w}hi"], base] = mw >> 32
+            cols[_CONST["sel_msgstart"], mbase] = 1
+            drow = mbase + SECTION * len(blocks)
+            cols[_CONST["sel_digest"], drow] = 1
+            for w in range(4):
+                dw = self.msg_digest_words[mi][w]
+                cols[_CONST[f"dg{w}lo"], drow] = dw & 0xFFFFFFFF
+                cols[_CONST[f"dg{w}hi"], drow] = dw >> 32
         return cols
 
     def boundaries(self, public):
-        k = self.num_blocks
-        out = []
-        # message limbs at each section start
-        for s in range(k):
-            base = s * SECTION
-            for w in range(16):
-                out.append((base, _COLS[f"M{w}lo"],
-                            public[32 * s + 2 * w]))
-                out.append((base, _COLS[f"M{w}hi"],
-                            public[32 * s + 2 * w + 1]))
-        # initial chain = parameterized IV
-        h0 = list(_IV)
-        h0[0] ^= 0x01010000 ^ 32
-        for w in range(8):
-            for i in range(64):
-                out.append((0, _COLS[f"H{w}_{i}"], (h0[w] >> i) & 1))
-        # digest: first 4 chain words one row past the last handoff
-        final_row = k * SECTION
-        digest = public[32 * k:32 * k + 8]
-        for w in range(4):
-            val = digest[2 * w] | (digest[2 * w + 1] << 32)
-            for i in range(64):
-                out.append((final_row, _COLS[f"H{w}_{i}"], (val >> i) & 1))
-        return out
+        return []
 
     # The transition is generated and shared by the scalar (verifier) and
     # device (prover) paths; the device path is a stacked re-emission of the
@@ -476,18 +518,48 @@ class Blake2bAir(Air):
                 gate(sel_final,
                      alg.sub(hbn[i], xor3(hb[i], vlo[i], vhi[i])))
 
+        # statement binding (mirrored bit-for-bit by the device path):
+        # message limbs pin to the preprocessed mc columns at each section
+        # start, the chain loads the parameterized IV at message starts,
+        # and the digest row pins the first 4 chain words to dg columns
+        for w in range(16):
+            gate(sel_init, alg.sub(local[_COLS[f"M{w}lo"]],
+                                   consts[_CONST[f"mc{w}lo"]]))
+            gate(sel_init, alg.sub(local[_COLS[f"M{w}hi"]],
+                                   consts[_CONST[f"mc{w}hi"]]))
+        sel_msgstart = consts[_CONST["sel_msgstart"]]
+        for w in range(8):
+            hb = _hbits(local, w)
+            for i in range(64):
+                gate(sel_msgstart,
+                     alg.sub(hb[i], alg.constant((_H0[w] >> i) & 1)))
+        sel_digest = consts[_CONST["sel_digest"]]
+        for w in range(4):
+            hb = _hbits(local, w)
+            gate(sel_digest, alg.sub(word32(hb[:32]),
+                                     consts[_CONST[f"dg{w}lo"]]))
+            gate(sel_digest, alg.sub(word32(hb[32:]),
+                                     consts[_CONST[f"dg{w}hi"]]))
+
         return out
     # -- witness ------------------------------------------------------------
 
     def build_trace(self) -> np.ndarray:
         tr = np.zeros((WIDTH, self.n), dtype=np.uint64)
-        for s in range(self.num_blocks):
-            base = s * SECTION
-            states = self._rows[s]
-            inters = self._inters[s]
-            carries = self._carries[s]
-            chain = self._chains[s]
-            blk = self.blocks[s]
+        for mi in range(len(self.messages)):
+            self._build_message_trace(tr, mi)
+        return tr
+
+    def _build_message_trace(self, tr: np.ndarray, mi: int) -> None:
+        m_rows, m_inters, m_carries, chains = self._per_msg[mi]
+        mbase = self.bases[mi]
+        blocks = self.msg_blocks[mi]
+        for s, blk in enumerate(blocks):
+            base = mbase + s * SECTION
+            states = m_rows[s]
+            inters = m_inters[s]
+            carries = m_carries[s]
+            chain = chains[s]
             m = [int.from_bytes(blk[8 * w:8 * w + 8], "little")
                  for w in range(16)]
             for r in range(25):
@@ -515,29 +587,32 @@ class Blake2bAir(Air):
                         tr[_COLS[f"C{g}_{add_i}_2"], base + r] = ch & 1
                         tr[_COLS[f"C{g}_{add_i}_3"], base + r] = (ch >> 1) & 1
         # chain value after the last handoff (the digest row)
-        final_row = self.num_blocks * SECTION
-        if final_row < self.n:
-            for w in range(8):
-                for i in range(64):
-                    tr[_COLS[f"H{w}_{i}"], final_row] = \
-                        (self._chains[-1][w] >> i) & 1
-        return tr
+        final_row = mbase + len(blocks) * SECTION
+        for w in range(8):
+            for i in range(64):
+                tr[_COLS[f"H{w}_{i}"], final_row] = \
+                    (chains[-1][w] >> i) & 1
 
     @classmethod
-    def statement(cls, message: bytes, claimed_digest: bytes) -> "Blake2bAir":
-        """Verifier-side statement: message + claimed 32-byte digest,
-        without computing the hash."""
+    def statement(cls, messages, claimed_digests) -> "Blake2bAir":
+        """Verifier-side statement: messages + claimed 32-byte digests,
+        without computing any hash.  Accepts a single message + digest or
+        parallel lists."""
         self = object.__new__(cls)
-        self.message = message
-        self.blocks = blake2b_pad(message)
-        k = len(self.blocks)
-        log_n = max(5, (SECTION * k).bit_length())
-        Air.__init__(self, width=WIDTH, log_n=log_n, constraint_degree=4)
-        self.msg_words = [int.from_bytes(b[8 * w:8 * w + 8], "little")
-                          for b in self.blocks for w in range(16)]
-        assert len(claimed_digest) == 32
-        self.digest_words = [int.from_bytes(claimed_digest[8 * i:8 * i + 8],
-                                            "little") for i in range(4)]
+        self.messages = _as_messages(messages)
+        if isinstance(claimed_digests, (bytes, bytearray)):
+            claimed_digests = [bytes(claimed_digests)]
+        assert len(claimed_digests) == len(self.messages)
+        assert all(len(d) == 32 for d in claimed_digests)
+        self._shape()
+        Air.__init__(self, width=WIDTH, log_n=self._log_n,
+                     constraint_degree=4)
+        self.msg_digest_words = [
+            [int.from_bytes(d[8 * i:8 * i + 8], "little") for i in range(4)]
+            for d in claimed_digests]
+        self.digest_words = self.msg_digest_words[-1] \
+            if len(self.messages) == 1 else None
+        self._per_msg = None   # statement-only: no witness data
         return self
 
     def _transition_device(self, local, nxt, consts):
@@ -802,5 +877,29 @@ class Blake2bAir(Air):
         xyz = mul(mul(hb2, vlo_b), vhi_b)
         x3 = add(sub(s3, cmul(2, p3)), cmul(4, xyz))
         gate_rows("sel_final", sub(hbn2, x3))
+
+        # --- statement binding (same emission order as the scalar path) ------
+        # message limbs vs mc columns at section starts (w-major, lo/hi)
+        mc = (jnp.stack([consts[_CONST[f"mc{w}{p}"]][0]
+                         for w in range(16) for p in ("lo", "hi")]),
+              jnp.stack([consts[_CONST[f"mc{w}{p}"]][1]
+                         for w in range(16) for p in ("lo", "hi")]))
+        gate_rows("sel_init", sub(mb, mc))
+        # chain = parameterized IV at message starts (w-major, bit-minor)
+        h0bits = np.array([(_H0[w] >> i) & 1 for w in range(8)
+                           for i in range(64)], dtype=np.uint32)
+        e_ms = gl.sub(hb2[0], hb2[1], h0bits[:, None], np.uint32(0))
+        sel_ms = consts[_CONST["sel_msgstart"]]
+        gate_rows((sel_ms[0], sel_ms[1]), e_ms)
+        # digest row: first 4 chain words vs dg columns (w-major, lo/hi)
+        sel_dg = consts[_CONST["sel_digest"]]
+        for w in range(4):
+            hwb = stack_range(local, _COLS[f"H{w}_0"], 64)
+            lo = word32_axis((hwb[0][None, :32], hwb[1][None, :32]))
+            hi = word32_axis((hwb[0][None, 32:], hwb[1][None, 32:]))
+            e_lo = sub((lo[0][0], lo[1][0]), consts[_CONST[f"dg{w}lo"]])
+            e_hi = sub((hi[0][0], hi[1][0]), consts[_CONST[f"dg{w}hi"]])
+            out.append(mul(sel_dg, e_lo))
+            out.append(mul(sel_dg, e_hi))
 
         return out

@@ -1,29 +1,37 @@
-"""SHA-256 AIR: proves digest = SHA256(message) for multi-block messages.
+"""SHA-256 AIR: proves digest_i = SHA256(message_i) for a BATCH of
+independent multi-block messages in one trace.
 
 The TPU-native counterpart of the reference's curta SHA-256 STARK gadget
 (`curta_sha256`, /root/reference/circuits/builder/justification.rs:140,156 —
 SURVEY.md §2 E3): the authority-set chained commitment and the data-root
-Merkle interior nodes are exactly chains of this hash.
+Merkle interior nodes are exactly chains of this hash.  Batching many
+messages into one trace is what curta does too — it is the difference
+between one proof and hundreds for the 300-step set commitment.
 
-Arithmetization — one round per row, 65-row section per 64-byte block:
+Arithmetization — one round per row, 65-row section per 64-byte block,
+plus one digest row per message:
 
-* section s occupies rows [65s, 65s+64]: 64 round rows + a post-state row
-  that doubles as the chain handoff into the next section;
+* message m occupies rows [base_m, base_m + 65·k_m]: k_m sections of
+  64 round rows + a post-state/handoff row each, then a digest row;
 * working variables a,b,c and e,f,g are 32 bit-columns each (rotations are
   free bit reindexings; Ch/Maj/Σ/σ are degree ≤ 3 bit polynomials); d and h
   only feed modular adds, so they stay word columns;
 * the chaining value h0..h7 lives in 8 word columns, copy-constrained
   within a section; the handoff row adds the section's final working state
   (feed-forward, with 1-bit carries) and the next section-start row loads
-  the working state from it;
+  the working state from it; each message-start row loads the IV;
 * the message schedule is a 17-slot sliding window of word columns with
   bit views of slots 2 and 15 for σ1/σ0;
-* every mod-2^32 addition carries small carry-bit columns;
-* K round constants and the 8 row-role selectors are preprocessed columns
-  (the committed verification key).
+* every mod-2^32 addition carries small carry-bit columns.
 
-Public inputs: 16·k message words + 8 digest words.  The digest is pinned
-by a boundary on the chain columns one row past the last handoff.
+STATEMENT BINDING: the message words and claimed digests live in
+preprocessed (constant) columns — `mword` streams w[r] under `sel_mload`,
+`dig0..dig7` hold the digest words at each message's digest row under
+`sel_digest`.  The verifier derives the constants commitment from the
+statement itself (`preprocess()` is verifier-side), so a proof only
+verifies against the exact (messages, digests) it was built for.  This
+replaces per-row boundary constraints, whose (B, N) batched evaluation
+would blow up quadratically for large batches.
 """
 
 from __future__ import annotations
@@ -82,10 +90,20 @@ def _layout():
 _COLS = _layout()
 WIDTH = len(_COLS)
 
-_CONST = {"K": 0, "sel_round": 1, "sel_schedule": 2, "sel_shift": 3,
-          "sel_state": 4, "sel_wbits": 5, "sel_handoff": 6,
-          "sel_secstart": 7, "sel_hcopy": 8}
+_CONST_NAMES = ["K", "sel_round", "sel_schedule", "sel_shift",
+                "sel_state", "sel_wbits", "sel_handoff",
+                "sel_secstart", "sel_hcopy",
+                # statement-binding columns (see module docstring)
+                "sel_mload", "sel_msgstart", "sel_digest", "mword",
+                *[f"dig{i}" for i in range(8)]]
+_CONST = {n: i for i, n in enumerate(_CONST_NAMES)}
 N_CONST = len(_CONST)
+
+
+def _as_messages(messages) -> list[bytes]:
+    if isinstance(messages, (bytes, bytearray)):
+        return [bytes(messages)]
+    return [bytes(m) for m in messages]
 
 
 def _fam(cols, fam):
@@ -94,22 +112,46 @@ def _fam(cols, fam):
 
 
 class Sha256Air(Air):
-    """Full SHA-256 of a message (any number of 64-byte blocks)."""
+    """Full SHA-256 of a batch of messages (any number of 64-byte blocks
+    each).  Pass a single `bytes` or a list of them."""
 
-    def __init__(self, message: bytes):
-        self.message = message
-        padded = sha256_pad(message)
-        self.blocks = [padded[i:i + 64] for i in range(0, len(padded), 64)]
-        k = len(self.blocks)
-        log_n = max(7, (SECTION * k).bit_length())  # 2^log_n ≥ 65k + 1
-        super().__init__(width=WIDTH, log_n=log_n, constraint_degree=4)
-        self.msg_words = [int.from_bytes(b[4 * i:4 * i + 4], "big")
-                          for b in self.blocks for i in range(16)]
+    def __init__(self, messages):
+        self.messages = _as_messages(messages)
+        self._shape()
+        super().__init__(width=WIDTH, log_n=self._log_n,
+                         constraint_degree=4)
         self._run()
+
+    def _shape(self):
+        """Per-message block lists, section-start bases, and trace size."""
+        assert self.messages
+        self.msg_blocks = []
+        self.bases = []
+        row = 0
+        for msg in self.messages:
+            padded = sha256_pad(msg)
+            blocks = [padded[i:i + 64] for i in range(0, len(padded), 64)]
+            self.msg_blocks.append(blocks)
+            self.bases.append(row)
+            row += SECTION * len(blocks) + 1   # sections + digest row
+        self.total_rows = row
+        # n ≥ total_rows + 1 keeps every digest row out of the masked
+        # last transition row
+        self._log_n = max(7, self.total_rows.bit_length())
+
+    @property
+    def message(self) -> bytes:
+        assert len(self.messages) == 1
+        return self.messages[0]
+
+    @property
+    def blocks(self) -> list[bytes]:
+        assert len(self.messages) == 1
+        return self.msg_blocks[0]
 
     @property
     def num_blocks(self) -> int:
-        return len(self.blocks)
+        return sum(len(b) for b in self.msg_blocks)
 
     # -- reference computation (also the witness) ---------------------------
 
@@ -124,99 +166,117 @@ class Sha256Air(Air):
         return (self._rotr(x, 17) ^ self._rotr(x, 19) ^ (x >> 10)) & 0xFFFFFFFF
 
     def _run(self):
-        h = list(_IV)
-        self._chains = [list(h)]       # chain value entering each section
-        self._section_w = []
-        self._section_states = []
-        for blk in self.blocks:
-            w = [int.from_bytes(blk[4 * i:4 * i + 4], "big")
-                 for i in range(16)]
-            for i in range(16, 64):
-                w.append((w[i - 16] + self._sig0(w[i - 15]) + w[i - 7]
-                          + self._sig1(w[i - 2])) & 0xFFFFFFFF)
-            self._section_w.append(w)
-            a, b, c, d, e, f, g, hh = h
-            states = [(a, b, c, d, e, f, g, hh)]
-            for r in range(64):
-                S1 = self._rotr(e, 6) ^ self._rotr(e, 11) ^ self._rotr(e, 25)
-                ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
-                t1 = (hh + S1 + ch + _K[r] + w[r]) & 0xFFFFFFFF
-                S0 = self._rotr(a, 2) ^ self._rotr(a, 13) ^ self._rotr(a, 22)
-                maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
-                t2 = (S0 + maj) & 0xFFFFFFFF
-                hh, g, f, e, d, c, b, a = (g, f, e, (d + t1) & 0xFFFFFFFF,
-                                           c, b, a, (t1 + t2) & 0xFFFFFFFF)
-                states.append((a, b, c, d, e, f, g, hh))
-            self._section_states.append(states)
-            h = [(hv + sv) & 0xFFFFFFFF for hv, sv in zip(h, states[64])]
-            self._chains.append(list(h))
-        self.digest = list(h)
+        self._per_msg = []   # per message: (section_w, section_states, chains)
+        self.digests = []
+        for blocks in self.msg_blocks:
+            h = list(_IV)
+            chains = [list(h)]
+            section_w = []
+            section_states = []
+            for blk in blocks:
+                w = [int.from_bytes(blk[4 * i:4 * i + 4], "big")
+                     for i in range(16)]
+                for i in range(16, 64):
+                    w.append((w[i - 16] + self._sig0(w[i - 15]) + w[i - 7]
+                              + self._sig1(w[i - 2])) & 0xFFFFFFFF)
+                section_w.append(w)
+                a, b, c, d, e, f, g, hh = h
+                states = [(a, b, c, d, e, f, g, hh)]
+                for r in range(64):
+                    S1 = self._rotr(e, 6) ^ self._rotr(e, 11) \
+                        ^ self._rotr(e, 25)
+                    ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
+                    t1 = (hh + S1 + ch + _K[r] + w[r]) & 0xFFFFFFFF
+                    S0 = self._rotr(a, 2) ^ self._rotr(a, 13) \
+                        ^ self._rotr(a, 22)
+                    maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
+                    t2 = (S0 + maj) & 0xFFFFFFFF
+                    hh, g, f, e, d, c, b, a = (g, f, e,
+                                               (d + t1) & 0xFFFFFFFF,
+                                               c, b, a,
+                                               (t1 + t2) & 0xFFFFFFFF)
+                    states.append((a, b, c, d, e, f, g, hh))
+                section_states.append(states)
+                h = [(hv + sv) & 0xFFFFFFFF for hv, sv in zip(h, states[64])]
+                chains.append(list(h))
+            self._per_msg.append((section_w, section_states, chains))
+            self.digests.append(list(h))
+
+    @property
+    def digest(self) -> list[int]:
+        assert len(self.digests) == 1
+        return self.digests[0]
 
     def digest_bytes(self) -> bytes:
         return b"".join(int.to_bytes(x, 4, "big") for x in self.digest)
 
+    def digest_bytes_list(self) -> list[bytes]:
+        return [b"".join(int.to_bytes(x, 4, "big") for x in d)
+                for d in self.digests]
+
     @classmethod
-    def statement(cls, message: bytes, claimed_digest: bytes) -> "Sha256Air":
-        """Verifier-side construction: the STATEMENT (message + claimed
-        digest) without computing the hash — verification must not need to
-        re-hash, only to check the proof against these publics."""
+    def statement(cls, messages, claimed_digests) -> "Sha256Air":
+        """Verifier-side construction: the STATEMENT (messages + claimed
+        digests) without computing any hash — verification must not need to
+        re-hash, only to check the proof against this statement.  Accepts
+        a single message + 32-byte digest or parallel lists."""
         self = object.__new__(cls)
-        self.message = message
-        padded = sha256_pad(message)
-        self.blocks = [padded[i:i + 64] for i in range(0, len(padded), 64)]
-        k = len(self.blocks)
-        log_n = max(7, (SECTION * k).bit_length())
-        Air.__init__(self, width=WIDTH, log_n=log_n, constraint_degree=4)
-        self.msg_words = [int.from_bytes(b[4 * i:4 * i + 4], "big")
-                          for b in self.blocks for i in range(16)]
-        assert len(claimed_digest) == 32
-        self.digest = [int.from_bytes(claimed_digest[4 * i:4 * i + 4], "big")
-                       for i in range(8)]
+        self.messages = _as_messages(messages)
+        if isinstance(claimed_digests, (bytes, bytearray)):
+            claimed_digests = [bytes(claimed_digests)]
+        assert len(claimed_digests) == len(self.messages)
+        assert all(len(d) == 32 for d in claimed_digests)
+        self._shape()
+        Air.__init__(self, width=WIDTH, log_n=self._log_n,
+                     constraint_degree=4)
+        self.digests = [
+            [int.from_bytes(d[4 * i:4 * i + 4], "big") for i in range(8)]
+            for d in claimed_digests]
+        self._per_msg = None   # statement-only: no witness data
         return self
 
     # -- AIR interface ------------------------------------------------------
 
     def public_inputs(self):
-        return [*self.msg_words, *self.digest]
+        # the statement lives in the preprocessed columns (see module
+        # docstring); the constants cap binds it into the transcript
+        return [len(self.messages)]
 
     def constant_columns(self):
         cols = np.zeros((N_CONST, self.n), dtype=np.uint64)
-        for s in range(self.num_blocks):
-            base = s * SECTION
-            for r in range(64):
-                cols[_CONST["K"], base + r] = _K[r]
-                cols[_CONST["sel_round"], base + r] = 1
-                if r >= 16:
-                    cols[_CONST["sel_schedule"], base + r] = 1
-                    cols[_CONST["sel_wbits"], base + r] = 1
-            for r in range(63):
-                cols[_CONST["sel_shift"], base + r] = 1
-            for r in range(65):
-                cols[_CONST["sel_state"], base + r] = 1
-            cols[_CONST["sel_handoff"], base + 64] = 1
-            cols[_CONST["sel_secstart"], base] = 1
-            # H constant within the section (rows base..base+63)
-            for r in range(64):
-                cols[_CONST["sel_hcopy"], base + r] = 1
+        for mi, blocks in enumerate(self.msg_blocks):
+            mbase = self.bases[mi]
+            for s, blk in enumerate(blocks):
+                base = mbase + s * SECTION
+                for r in range(64):
+                    cols[_CONST["K"], base + r] = _K[r]
+                    cols[_CONST["sel_round"], base + r] = 1
+                    if r >= 16:
+                        cols[_CONST["sel_schedule"], base + r] = 1
+                        cols[_CONST["sel_wbits"], base + r] = 1
+                for r in range(63):
+                    cols[_CONST["sel_shift"], base + r] = 1
+                for r in range(65):
+                    cols[_CONST["sel_state"], base + r] = 1
+                cols[_CONST["sel_handoff"], base + 64] = 1
+                cols[_CONST["sel_secstart"], base] = 1
+                # H constant within the section (rows base..base+63)
+                for r in range(64):
+                    cols[_CONST["sel_hcopy"], base + r] = 1
+                # message words streamed into W0 over the first 16 rows
+                for r in range(16):
+                    cols[_CONST["sel_mload"], base + r] = 1
+                    cols[_CONST["mword"], base + r] = int.from_bytes(
+                        blk[4 * r:4 * r + 4], "big")
+            cols[_CONST["sel_msgstart"], mbase] = 1
+            drow = mbase + SECTION * len(blocks)
+            cols[_CONST["sel_digest"], drow] = 1
+            for i in range(8):
+                cols[_CONST[f"dig{i}"], drow] = self.digests[mi][i]
         return cols
 
     def boundaries(self, public):
-        k = self.num_blocks
-        msg = public[:16 * k]
-        digest = public[16 * k:16 * k + 8]
-        out = []
-        # chain starts at the standard IV
-        for i in range(8):
-            out.append((0, _COLS[f"H{i}"], _IV[i]))
-        # message words: W0 at rows 65s .. 65s+15
-        for s in range(k):
-            for r in range(16):
-                out.append((s * SECTION + r, _COLS["W0"], msg[16 * s + r]))
-        # digest: chain columns one row past the last handoff
-        final_row = k * SECTION
-        for i in range(8):
-            out.append((final_row, _COLS[f"H{i}"], digest[i]))
-        return out
+        return []
 
     def transition(self, alg, local, nxt, public, consts=None):
         from vectorx_tpu.stark.air import DeviceAlgebra
@@ -346,6 +406,18 @@ class Sha256Air(Air):
         # section start: working state loads the chain value
         for i, sw in enumerate(state_words):
             out.append(gate(sel_secstart, alg.sub(sw, H[i])))
+
+        # statement binding: message words stream into W0, the chain loads
+        # the IV at message starts, the digest row pins the chain against
+        # the preprocessed digest columns
+        out.append(gate(consts[_CONST["sel_mload"]],
+                        alg.sub(W[0], consts[_CONST["mword"]])))
+        for i in range(8):
+            out.append(gate(consts[_CONST["sel_msgstart"]],
+                            alg.sub(H[i], alg.constant(_IV[i]))))
+        for i in range(8):
+            out.append(gate(consts[_CONST["sel_digest"]],
+                            alg.sub(H[i], consts[_CONST[f"dig{i}"]])))
 
         return out
 
@@ -514,18 +586,35 @@ class Sha256Air(Air):
                                     rhs_h[0], rhs_h[1])))
         out.extend(gate_rows("sel_secstart", sub(sw, Hs)))
 
+        # statement binding (same emission order as the scalar path)
+        out.append(gate("sel_mload", sub(W[0], consts[_CONST["mword"]])))
+        ivl, ivh = gl.from_u64(np.array(_IV, dtype=np.uint64))
+        e_ms = gl.sub(Hs[0], Hs[1], jnp.asarray(ivl)[:, None],
+                      jnp.asarray(ivh)[:, None])
+        out.extend(gate_rows("sel_msgstart", e_ms))
+        digc = (jnp.stack([consts[_CONST[f"dig{i}"]][0] for i in range(8)]),
+                jnp.stack([consts[_CONST[f"dig{i}"]][1] for i in range(8)]))
+        out.extend(gate_rows("sel_digest", sub(Hs, digc)))
+
         return out
 
     # -- witness ------------------------------------------------------------
 
     def build_trace(self) -> np.ndarray:
         tr = np.zeros((WIDTH, self.n), dtype=np.uint64)
-        for s in range(self.num_blocks):
-            base = s * SECTION
-            w = self._section_w[s]
-            states = self._section_states[s]
-            chain = self._chains[s]
-            next_chain = self._chains[s + 1]
+        for mi in range(len(self.messages)):
+            self._build_message_trace(tr, mi)
+        return tr
+
+    def _build_message_trace(self, tr: np.ndarray, mi: int) -> None:
+        section_w, section_states, chains = self._per_msg[mi]
+        mbase = self.bases[mi]
+        for s in range(len(self.msg_blocks[mi])):
+            base = mbase + s * SECTION
+            w = section_w[s]
+            states = section_states[s]
+            chain = chains[s]
+            next_chain = chains[s + 1]
             # schedule window
             for r in range(65):
                 for k in range(17):
@@ -567,16 +656,9 @@ class Sha256Air(Air):
             for i in range(8):
                 tr[_COLS[f"CH{i}"], base + 64] = \
                     (chain[i] + states[64][i]) >> 32
-            # H after handoff (start of next section / final row)
-            if base + SECTION < self.n:
-                for i in range(8):
-                    tr[_COLS[f"H{i}"], base + SECTION] = next_chain[i]
-        # final row chain columns when it IS the end marker
-        final_row = self.num_blocks * SECTION
-        if final_row < self.n:
+            # H after handoff (start of next section / the digest row)
             for i in range(8):
-                tr[_COLS[f"H{i}"], final_row] = self.digest[i]
-        return tr
+                tr[_COLS[f"H{i}"], base + SECTION] = next_chain[i]
 
 
 # Backwards-compatible name for the single-block compression entry point.
@@ -584,10 +666,10 @@ class Sha256CompressAir(Sha256Air):
     def __init__(self, block: bytes):
         assert len(block) == 64
         # bypass padding: treat the block as already padded
-        self.message = block
-        self.blocks = [block]
-        log_n = 7
-        Air.__init__(self, width=WIDTH, log_n=log_n, constraint_degree=4)
-        self.msg_words = [int.from_bytes(block[4 * i:4 * i + 4], "big")
-                          for i in range(16)]
+        self.messages = [block]
+        self.msg_blocks = [[block]]
+        self.bases = [0]
+        self.total_rows = SECTION + 1
+        self._log_n = 7
+        Air.__init__(self, width=WIDTH, log_n=7, constraint_degree=4)
         self._run()
