@@ -7,16 +7,19 @@ get_root_from_hashed_leaves + reduce-stage SHA256 parents,
 subchain_verification.rs:212-274): leaves are NOT pre-hashed, interior
 nodes are SHA256(left ‖ right).
 
-Every interior node is one `Sha256Air` proof of a 64-byte message (two
-blocks after padding); nodes are glued by PUBLIC wiring — a node's message
-is the concatenation of its children's public digests — which the verifier
-checks directly, never hashing anything itself.
+ALL interior nodes of the tree are proven in a handful of BATCHED
+`Sha256Air` proofs (many 64-byte messages per trace); nodes are glued by
+PUBLIC wiring — a node's message is the concatenation of its children's
+public digests — which the verifier checks directly when rebuilding the
+statement, never hashing anything itself.  A 256-leaf tree is 2-3 proofs
+instead of 255 (VERDICT round-2 item 3).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from vectorx_tpu.circuits.zk_commitment import _sha_rows, chunk_by_rows
 from vectorx_tpu.stark.prover import StarkConfig, prove
 from vectorx_tpu.stark.sha256_air import Sha256Air
 from vectorx_tpu.stark.verifier import verify
@@ -26,28 +29,52 @@ from vectorx_tpu.stark.verifier import verify
 class MerkleRootProof:
     leaves: list            # public 32-byte leaves (power-of-two count)
     level_digests: list     # per level above the leaves: list of digests
-    node_proofs: list       # flat, level-major left-to-right
+    chunk_sizes: list       # interior nodes covered by each batched proof
+    node_proofs: list       # one StarkProof per chunk (batched Sha256Air)
     root: bytes
+
+
+def _interior_messages(leaves, level_digests):
+    """Level-major list of 64-byte node messages, from public wiring."""
+    messages, digests = [], []
+    level = list(leaves)
+    for lvl in level_digests:
+        if len(lvl) != len(level) // 2:
+            return None
+        for i, claimed in enumerate(lvl):
+            messages.append(level[2 * i] + level[2 * i + 1])
+            digests.append(claimed)
+        level = list(lvl)
+    if len(level) != 1:
+        return None
+    return messages, digests, level[0]
 
 
 def prove_merkle_root(leaves: list[bytes],
                       config: StarkConfig = StarkConfig()
                       ) -> MerkleRootProof:
+    import hashlib
+
     n = len(leaves)
     assert n and n & (n - 1) == 0 and all(len(x) == 32 for x in leaves)
     level = list(leaves)
     level_digests = []
-    proofs = []
     while len(level) > 1:
-        nxt = []
-        for i in range(len(level) // 2):
-            air = Sha256Air(level[2 * i] + level[2 * i + 1])
-            proofs.append(prove(air, air.build_trace(), config))
-            nxt.append(air.digest_bytes())
+        nxt = [hashlib.sha256(level[2 * i] + level[2 * i + 1]).digest()
+               for i in range(len(level) // 2)]
         level_digests.append(nxt)
         level = nxt
+    wired = _interior_messages(leaves, level_digests)
+    messages, digests, root = wired if wired else ([], [], leaves[0])
+    sizes = chunk_by_rows(messages, _sha_rows)
+    proofs, pos = [], 0
+    for sz in sizes:
+        air = Sha256Air(messages[pos:pos + sz])
+        assert air.digest_bytes_list() == digests[pos:pos + sz]
+        proofs.append(prove(air, air.build_trace(), config))
+        pos += sz
     return MerkleRootProof(leaves=list(leaves), level_digests=level_digests,
-                           node_proofs=proofs, root=level[0])
+                           chunk_sizes=sizes, node_proofs=proofs, root=root)
 
 
 def verify_merkle_root(proof: MerkleRootProof,
@@ -57,19 +84,24 @@ def verify_merkle_root(proof: MerkleRootProof,
         return False
     if n == 1:
         return not proof.node_proofs and proof.root == proof.leaves[0]
-    level = list(proof.leaves)
-    idx = 0
-    for digests in proof.level_digests:
-        if len(digests) != len(level) // 2:
-            return False
-        for i, claimed in enumerate(digests):
-            # statement: message = children (public wiring), digest = claim
-            air = Sha256Air.statement(level[2 * i] + level[2 * i + 1],
-                                      claimed)
-            if idx >= len(proof.node_proofs) or \
-                    not verify(air, proof.node_proofs[idx], config):
+    wired = _interior_messages(proof.leaves, proof.level_digests)
+    if wired is None:
+        return False
+    messages, digests, root = wired
+    if root != proof.root:
+        return False
+    if [s for s in proof.chunk_sizes if s < 1] or \
+            sum(proof.chunk_sizes) != len(messages) or \
+            len(proof.node_proofs) != len(proof.chunk_sizes):
+        return False
+    pos = 0
+    for sz, stark in zip(proof.chunk_sizes, proof.node_proofs):
+        air = Sha256Air.statement(messages[pos:pos + sz],
+                                  digests[pos:pos + sz])
+        try:
+            if not verify(air, stark, config):
                 return False
-            idx += 1
-        level = list(digests)
-    return len(level) == 1 and level[0] == proof.root and \
-        idx == len(proof.node_proofs)
+        except Exception:
+            return False
+        pos += sz
+    return True

@@ -44,13 +44,21 @@ class MockGateway:
     """ISuccinctGateway stand-in: `request_call` queues requests;
     `fulfill` runs the registered prover for the function id and invokes the
     callback with the verified output (the requestCall/verifiedCall flow at
-    VectorX.sol:202-208, :259-262)."""
+    VectorX.sol:202-208, :259-262).
 
-    provers: dict = field(default_factory=dict)   # function_id -> fn(input)->output
+    When a prover is registered WITH a verifier, the prover must return
+    `(output_bytes, proof)` and the gateway checks the proof against the
+    request input and claimed output BEFORE running the callback — the
+    trust boundary the reference's gateway enforces (the wrapped-proof
+    verification inside `verifiedCall`).  A failed proof aborts the
+    fulfillment; no state-changing callback runs."""
+
+    provers: dict = field(default_factory=dict)  # fid -> (prover, verifier|None)
     pending: list = field(default_factory=list)
 
-    def register_prover(self, function_id: bytes, prover) -> None:
-        self.provers[function_id] = prover
+    def register_prover(self, function_id: bytes, prover,
+                        verifier=None) -> None:
+        self.provers[function_id] = (prover, verifier)
 
     def request_call(self, function_id: bytes, input_bytes: bytes,
                      callback) -> None:
@@ -58,8 +66,15 @@ class MockGateway:
 
     def fulfill_next(self) -> None:
         function_id, input_bytes, callback = self.pending.pop(0)
-        self._verified = (function_id, input_bytes,
-                          self.provers[function_id](input_bytes))
+        prover, verifier = self.provers[function_id]
+        result = prover(input_bytes)
+        if verifier is not None:
+            output, proof = result
+            if not verifier(input_bytes, output, proof):
+                raise ContractError("GatewayProofRejected")
+        else:
+            output = result
+        self._verified = (function_id, input_bytes, output)
         try:
             callback()
         finally:

@@ -19,8 +19,16 @@ def make_gateway(fetcher, max_authority_set_size: int = 300,
                  max_header_size: int = 35840,
                  header_range_function_id: bytes = b"\x01" * 32,
                  rotate_function_id: bytes = b"\x02" * 32,
-                 dummy: bool = False) -> MockGateway:
-    """Gateway whose provers run the real (or dummy) circuit pipelines."""
+                 dummy: bool = False, zk: bool = False,
+                 stark_config=None) -> MockGateway:
+    """Gateway whose provers run the real (or dummy) circuit pipelines.
+
+    With `zk=True` the header_range prover returns `(output, ZK proof)`
+    and the gateway VERIFIES the proof before the contract callback — the
+    reference's `verifiedCall` trust boundary
+    (/root/reference/contracts/src/VectorX.sol:259-262).  Tampering the
+    prover output makes the fulfillment revert (exercised by the system
+    tests).  Rotate stays recomputation-checked pending its ZK variant."""
     gw = MockGateway()
     if dummy:
         from vectorx_tpu.circuits import DummyHeaderRange, DummyRotate
@@ -34,7 +42,32 @@ def make_gateway(fetcher, max_authority_set_size: int = 300,
             max_num_headers=max_num_headers)
         rt = RotateCircuit(max_authority_set_size=max_authority_set_size,
                            max_header_size=max_header_size)
-    gw.register_prover(header_range_function_id,
-                       lambda inp: hr.run(inp, fetcher))
+    if zk:
+        from vectorx_tpu.circuits.zk_header_range import (
+            prove_header_range_zk, verify_header_range_zk)
+        from vectorx_tpu.stark.prover import StarkConfig
+
+        cfg = stark_config or StarkConfig()
+
+        def hr_prove(inp):
+            zkp = prove_header_range_zk(
+                fetcher, inp, tree_size=max_num_headers,
+                max_authorities=max_authority_set_size, config=cfg)
+            return zkp.output_bytes, zkp
+
+        def hr_verify(inp, output, zkp) -> bool:
+            if zkp is None or getattr(zkp, "input_bytes", None) != inp or \
+                    getattr(zkp, "output_bytes", None) != output:
+                return False
+            try:
+                return verify_header_range_zk(zkp, tree_size=max_num_headers,
+                                              config=cfg)
+            except Exception:
+                return False
+
+        gw.register_prover(header_range_function_id, hr_prove, hr_verify)
+    else:
+        gw.register_prover(header_range_function_id,
+                           lambda inp: hr.run(inp, fetcher))
     gw.register_prover(rotate_function_id, lambda inp: rt.run(inp, fetcher))
     return gw
