@@ -84,6 +84,32 @@ class Lookup:
 NUM_LOOKUP_SETS = 2
 
 
+@dataclass(frozen=True)
+class BusPort:
+    """One port of the LogUp memory bus — the mechanism that lets a
+    row-programmed machine (the recursive verifier AIR) move values across
+    arbitrarily distant rows with O(1) columns per port, where plonky2
+    uses copy constraints/wiring (SURVEY.md §2 E1/E2).
+
+    Per row, the port carries the (address, multiplicity) pair in two
+    preprocessed columns and reads its value from a fixed witness column
+    pair **on the next row** (so a slot writing a fresh register and the
+    bus write of that value land on the same row).  Semantics: over rows
+    0..n−2, the multiset equation
+
+        Σ_rows m[r] / (β − addr[r] − δ·v0'[r] − δ²·v1'[r])  =  0
+
+    holds for random β, δ — a value written once with multiplicity +k is
+    read (m = −1 ≡ P−1) exactly k times, and every read returns the
+    written value.  Enforced by one helper column per (port, challenge
+    set): h·(β − addr − δ·v0' − δ²·v1') = m (degree 2), accumulated by a
+    running-sum column Z with Z[0] = Z[n−1] = 0."""
+
+    value_cols: tuple   # (v0_col, v1_col) witness columns, read on next row
+    addr_col: int       # preprocessed column: address (0 ⇒ port inactive)
+    mult_col: int       # preprocessed column: multiplicity mod P (−1 = read)
+
+
 @dataclass
 class Air:
     width: int
@@ -101,6 +127,12 @@ class Air:
         """LogUp lookups to enforce.  Each adds NUM_LOOKUP_SETS auxiliary
         running-sum columns, committed after a Fiat-Shamir challenge drawn
         post-trace-commit.  Default: none."""
+        return []
+
+    def bus_ports(self) -> list[BusPort]:
+        """Memory-bus ports (see BusPort).  Adds NUM_LOOKUP_SETS·(P+1)
+        auxiliary columns (one helper per port per set + one running sum
+        per set).  Default: none."""
         return []
 
     def constant_columns(self):
@@ -219,13 +251,64 @@ def _sum_excl_general(alg, bins):
     return total
 
 
-def lookup_boundaries(air: Air):
-    """Z[0] = 0 and Z[n−1] = 0 for every aux column; column indices are
-    offset by `air.width` (the aux columns sit after the witness columns
-    in the opened-value ordering)."""
+def bus_aux_layout(air: Air):
+    """Aux-column indices for the bus: helpers then running sums, after the
+    lookup running-sum block.  Returns (helper_base, z_base, n_aux_total);
+    helper (p, s) sits at helper_base + p·S + s, Z_s at z_base + s."""
+    n_lk = len(air.lookups()) * NUM_LOOKUP_SETS
+    ports = air.bus_ports()
+    if not ports:
+        return n_lk, n_lk, n_lk
+    helper_base = n_lk
+    z_base = n_lk + len(ports) * NUM_LOOKUP_SETS
+    return helper_base, z_base, z_base + NUM_LOOKUP_SETS
+
+
+def bus_transitions(alg, local, nxt, aux_local, aux_next, consts, betas,
+                    deltas, air: Air):
+    """Synthesize the bus constraints against an abstract algebra, in a
+    fixed order shared by prover and verifier: for each challenge set s,
+    every port's helper constraint then the running-sum constraint.
+
+        h_{p,s}·(β_s − addr_p − δ_s·v0' − δ_s²·v1') − m_p = 0
+        Z'_s − Z_s − Σ_p h_{p,s} = 0
+    """
+    ports = air.bus_ports()
+    helper_base, z_base, _ = bus_aux_layout(air)
     out = []
-    n_aux = len(air.lookups()) * NUM_LOOKUP_SETS
-    for a in range(n_aux):
+    for s, (beta, delta) in enumerate(zip(betas, deltas)):
+        b = alg.constant(beta)
+        d1 = alg.constant(delta)
+        d2 = alg.constant((delta * delta) % gl.P)
+        hsum = None
+        for p, port in enumerate(ports):
+            h = aux_local[helper_base + p * NUM_LOOKUP_SETS + s]
+            v0 = nxt[port.value_cols[0]]
+            v1 = nxt[port.value_cols[1]]
+            m = consts[port.mult_col]
+            addr = consts[port.addr_col]
+            den = alg.sub(alg.sub(b, addr),
+                          alg.add(alg.mul(d1, v0), alg.mul(d2, v1)))
+            out.append(alg.sub(alg.mul(h, den), m))
+            hsum = h if hsum is None else alg.add(hsum, h)
+        z = aux_local[z_base + s]
+        zn = aux_next[z_base + s]
+        out.append(alg.sub(alg.sub(zn, z), hsum))
+    return out
+
+
+def lookup_boundaries(air: Air):
+    """Z[0] = 0 and Z[n−1] = 0 for every running-sum aux column (lookup
+    sums and bus sums; bus helper columns are unconstrained at the
+    boundary).  Column indices are offset by `air.width` (the aux columns
+    sit after the witness columns in the opened-value ordering)."""
+    out = []
+    n_lk = len(air.lookups()) * NUM_LOOKUP_SETS
+    z_cols = list(range(n_lk))
+    if air.bus_ports():
+        _, z_base, _ = bus_aux_layout(air)
+        z_cols += [z_base + s for s in range(NUM_LOOKUP_SETS)]
+    for a in z_cols:
         out.append((0, air.width + a, 0))
         out.append((air.n - 1, air.width + a, 0))
     return out

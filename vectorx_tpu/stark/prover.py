@@ -34,6 +34,7 @@ from vectorx_tpu.fri.transcript import Challenger
 from vectorx_tpu.ntt import coset_intt, coset_ntt, intt, lde, power_table
 from vectorx_tpu.ntt.ntt import _root_of_unity
 from vectorx_tpu.stark.air import (NUM_LOOKUP_SETS, Air, DeviceAlgebra,
+                                   bus_aux_layout, bus_transitions,
                                    lookup_boundaries, lookup_transitions)
 
 P = gl.P
@@ -248,6 +249,54 @@ def lookup_aux_trace(air: Air, tl, th, consts_u64, betas) -> np.ndarray:
     return np.asarray(gl.to_u64(zl, zh))
 
 
+def bus_aux_trace(air: Air, tl, th, consts_u64, betas, deltas) -> np.ndarray:
+    """Witness-generate the bus helper and running-sum columns as a
+    ((P+1)·NUM_LOOKUP_SETS, n) uint64 array: helpers h_{p,s} at p·S + s,
+    running sums Z_s at P·S + s.  One batched device inverse for all
+    denominators; Z is a log-depth device scan."""
+    ports = air.bus_ports()
+    S = NUM_LOOKUP_SETS
+    dens_l, dens_h = [], []
+    ms = []
+    for p, port in enumerate(ports):
+        a_l, a_h = gl.from_u64(np.asarray(consts_u64[port.addr_col],
+                                          dtype=np.uint64))
+        v0l = jnp.roll(tl[port.value_cols[0]], -1)
+        v0h = jnp.roll(th[port.value_cols[0]], -1)
+        v1l = jnp.roll(tl[port.value_cols[1]], -1)
+        v1h = jnp.roll(th[port.value_cols[1]], -1)
+        m_l, m_h = gl.from_u64(np.asarray(consts_u64[port.mult_col],
+                                          dtype=np.uint64))
+        ms.append((m_l, m_h))
+        for beta, delta in zip(betas, deltas):
+            d2 = (delta * delta) % P
+            t1 = gl.mul(v0l, v0h, jnp.uint32(delta & 0xFFFFFFFF),
+                        jnp.uint32(delta >> 32))
+            t2 = gl.mul(v1l, v1h, jnp.uint32(d2 & 0xFFFFFFFF),
+                        jnp.uint32(d2 >> 32))
+            cmp_ = gl.add(*gl.add(a_l, a_h, *t1), *t2)
+            d = gl.sub(jnp.uint32(beta & 0xFFFFFFFF),
+                       jnp.uint32(beta >> 32), *cmp_)
+            dens_l.append(d[0])
+            dens_h.append(d[1])
+    inv_l, inv_h = gl.inv(jnp.stack(dens_l), jnp.stack(dens_h))
+    n = air.n
+    out = np.zeros(((len(ports) + 1) * S, n), dtype=np.uint64)
+    hs = {}
+    for p in range(len(ports)):
+        for s in range(S):
+            h = gl.mul(*ms[p], inv_l[p * S + s], inv_h[p * S + s])
+            hs[(p, s)] = h
+            out[p * S + s] = np.asarray(gl.to_u64(*h))
+    for s in range(S):
+        acc = hs[(0, s)]
+        for p in range(1, len(ports)):
+            acc = gl.add(*acc, *hs[(p, s)])
+        z = _field_exclusive_prefix_sum(acc[0][None, :], acc[1][None, :])
+        out[len(ports) * S + s] = np.asarray(gl.to_u64(z[0][0], z[1][0]))
+    return out
+
+
 def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
           ) -> StarkProof:
     n = air.n
@@ -276,17 +325,29 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     trace_tree = merkle.build_tree(tr_lde_l.T, tr_lde_h.T, cap_height=cap_h)
     challenger.observe_cap(trace_tree.cap_ints())
 
-    # ---- lookup aux columns (committed after a post-trace challenge) ------
+    # ---- lookup/bus aux columns (committed after post-trace challenges) ---
     lookups = air.lookups()
-    A = len(lookups) * NUM_LOOKUP_SETS
+    ports = air.bus_ports()
+    _, _, A = bus_aux_layout(air)
     betas: list[int] = []
+    deltas: list[int] = []
     aux_tree = aux_lde = aux_coeff = None
-    if lookups:
-        assert K, "lookup tables live in constant_columns()"
-        assert air.constraint_degree >= max(lk.degree for lk in lookups), \
-            "constraint_degree must cover the synthesized lookup constraints"
+    if lookups or ports:
+        assert K, "lookup tables / bus addresses live in constant_columns()"
+        if lookups:
+            assert air.constraint_degree >= max(lk.degree for lk in lookups), \
+                "constraint_degree must cover the synthesized lookup constraints"
         betas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
-        aux_u64 = lookup_aux_trace(air, tl, th, air.constant_columns(), betas)
+        if ports:
+            deltas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        consts_u64 = air.constant_columns()
+        parts = []
+        if lookups:
+            parts.append(lookup_aux_trace(air, tl, th, consts_u64, betas))
+        if ports:
+            parts.append(bus_aux_trace(air, tl, th, consts_u64, betas,
+                                       deltas))
+        aux_u64 = np.concatenate(parts, axis=0)
         axl, axh = gl.from_u64(aux_u64)
         aux_coeff = intt(axl, axh)
         aux_lde = coset_ntt(jnp.pad(aux_coeff[0], pad),
@@ -309,13 +370,19 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     # XLA:CPU super-linear compile blowup on wide AIRs (Poseidon: ~25k ops)
     transition_vals = air.transition(DeviceAlgebra, local, nxt, public,
                                      consts_dev)
-    if lookups:
+    if lookups or ports:
         aux_local = [(aux_lde[0][a], aux_lde[1][a]) for a in range(A)]
         aux_nxt = [(jnp.roll(aux_lde[0][a], -blowup),
                     jnp.roll(aux_lde[1][a], -blowup)) for a in range(A)]
-        transition_vals = list(transition_vals) + lookup_transitions(
-            DeviceAlgebra, local, nxt, aux_local, aux_nxt, consts_dev,
-            betas, lookups)
+        transition_vals = list(transition_vals)
+        if lookups:
+            transition_vals += lookup_transitions(
+                DeviceAlgebra, local, nxt, aux_local, aux_nxt, consts_dev,
+                betas, lookups)
+        if ports:
+            transition_vals += bus_transitions(
+                DeviceAlgebra, local, nxt, aux_local, aux_nxt, consts_dev,
+                betas, deltas, air)
 
     xl, xh = _domain_x(log_N, gl.GENERATOR)
     zh_l, zh_h, zhinv_l, zhinv_h = _zh_on_domain(air, config)
@@ -343,7 +410,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     acc1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][:, None], tw[3][:, None]))
     acc = (*acc0, *acc1)
     boundaries = list(air.boundaries(public)) + \
-        (lookup_boundaries(air) if lookups else [])
+        (lookup_boundaries(air) if (lookups or ports) else [])
     if boundaries:
         # all boundary terms batched: (B, N) stacked rows, ONE batched
         # inverse, α-weighted sum over the boundary axis
@@ -407,7 +474,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     trace_at_zeta_next = eval_base_polys_at_ext(coeff_l, coeff_h, w_zeta)
     aux_at_zeta = []
     aux_at_zeta_next = []
-    if lookups:
+    if lookups or ports:
         aux_at_zeta = eval_base_polys_at_ext(*aux_coeff, zeta)
         aux_at_zeta_next = eval_base_polys_at_ext(*aux_coeff, w_zeta)
     constants_at_zeta = []
@@ -476,7 +543,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     L = ge.add(L, base_group(tr_lde_l, tr_lde_h, _weights(g_pows[W:2 * W]),
                              dotc(g_pows[W:2 * W], trace_at_zeta_next),
                              inv_x_wzeta))
-    if lookups:
+    if lookups or ports:
         ga = g_pows[2 * W:2 * W + A]
         gb = g_pows[2 * W + A:2 * W + 2 * A]
         L = ge.add(L, base_group(aux_lde[0], aux_lde[1], _weights(ga),
@@ -519,7 +586,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     tr_host_l = gl.to_u64(tr_lde_l, tr_lde_h)      # (W, N) uint64
     q_host = gl.to_u64(q_lde_l, q_lde_h)           # (2*chunks, N)
     c_host = gl.to_u64(*const_lde) if K else None
-    a_host = gl.to_u64(*aux_lde) if lookups else None
+    a_host = gl.to_u64(*aux_lde) if (lookups or ports) else None
     trace_openings = []
     quotient_openings = []
     constants_openings = []
@@ -535,7 +602,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
             constants_openings.append(TreeOpening(
                 leaf=[int(x) for x in c_host[:, q]],
                 path=const_tree.open(q)))
-        if lookups:
+        if lookups or ports:
             aux_openings.append(TreeOpening(
                 leaf=[int(x) for x in a_host[:, q]],
                 path=aux_tree.open(q)))
@@ -551,7 +618,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         quotient_openings=quotient_openings,
         constants_at_zeta=constants_at_zeta,
         constants_openings=constants_openings,
-        aux_cap=aux_tree.cap_ints() if lookups else [],
+        aux_cap=aux_tree.cap_ints() if (lookups or ports) else [],
         aux_at_zeta=aux_at_zeta,
         aux_at_zeta_next=aux_at_zeta_next,
         aux_openings=aux_openings,

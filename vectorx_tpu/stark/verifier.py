@@ -15,6 +15,7 @@ from vectorx_tpu.fri.fri import fri_check_queries, fri_replay
 from vectorx_tpu.fri.transcript import Challenger
 from vectorx_tpu.ntt.ntt import _root_of_unity
 from vectorx_tpu.stark.air import (NUM_LOOKUP_SETS, Air, ExtAlgebra,
+                                   bus_aux_layout, bus_transitions,
                                    lookup_boundaries, lookup_transitions)
 from vectorx_tpu.stark.prover import StarkConfig, StarkProof, \
     _num_quotient_chunks, preprocess
@@ -46,10 +47,14 @@ def verify(air: Air, proof: StarkProof,
         challenger.observe_cap(const_cap)
     challenger.observe_cap(proof.trace_cap)
     lookups = air.lookups()
-    A = len(lookups) * NUM_LOOKUP_SETS
+    ports = air.bus_ports()
+    _, _, A = bus_aux_layout(air)
     betas: list[int] = []
-    if lookups:
+    deltas: list[int] = []
+    if lookups or ports:
         betas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        if ports:
+            deltas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
         challenger.observe_cap(proof.aux_cap)
     alpha = challenger.get_extension_challenge()
     challenger.observe_cap(proof.quotient_cap)
@@ -83,6 +88,10 @@ def verify(air: Air, proof: StarkProof,
         transition_vals += lookup_transitions(
             ExtAlgebra, local, nxt, list(proof.aux_at_zeta),
             list(proof.aux_at_zeta_next), consts, betas, lookups)
+    if ports:
+        transition_vals += bus_transitions(
+            ExtAlgebra, local, nxt, list(proof.aux_at_zeta),
+            list(proof.aux_at_zeta_next), consts, betas, deltas, air)
 
     acc = ext_py.ZERO
     a_pow = ext_py.ONE
@@ -92,7 +101,7 @@ def verify(air: Air, proof: StarkProof,
         a_pow = ext_py.mul(a_pow, alpha)
     all_at_zeta = local + list(proof.aux_at_zeta)
     boundaries = list(air.boundaries(public)) + \
-        (lookup_boundaries(air) if lookups else [])
+        (lookup_boundaries(air) if (lookups or ports) else [])
     for (row, col, value) in boundaries:
         x_r = pow(w, row, P)
         diff = ext_py.sub(all_at_zeta[col], ext_py.from_base(value))
@@ -122,7 +131,7 @@ def verify(air: Air, proof: StarkProof,
 
     if K and len(proof.constants_openings) != len(indices):
         return False
-    if lookups and len(proof.aux_openings) != len(indices):
+    if (lookups or ports) and len(proof.aux_openings) != len(indices):
         return False
     w8 = _root_of_unity(log_N, inverse=False)
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
@@ -144,7 +153,7 @@ def verify(air: Air, proof: StarkProof,
                     c_open.leaf, q, c_open.path, const_cap, num_leaves=N):
                 return False
         a_open = None
-        if lookups:
+        if lookups or ports:
             a_open = proof.aux_openings[qi]
             if len(a_open.leaf) != A or not merkle.verify_path(
                     a_open.leaf, q, a_open.path, proof.aux_cap, num_leaves=N):
