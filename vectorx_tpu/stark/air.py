@@ -279,7 +279,7 @@ def bus_transitions(alg, local, nxt, aux_local, aux_next, consts, betas,
     for s, (beta, delta) in enumerate(zip(betas, deltas)):
         b = alg.constant(beta)
         d1 = alg.constant(delta)
-        d2 = alg.constant((delta * delta) % gl.P)
+        d2 = alg.mul(d1, d1)   # algebra-generic so challenges may be symbols
         hsum = None
         for p, port in enumerate(ports):
             h = aux_local[helper_base + p * NUM_LOOKUP_SETS + s]
