@@ -27,7 +27,7 @@ argument), so program scheduling is free: Poseidon chains are laid out
 contiguously after the FMA program regardless of tape interleaving.
 
 The program (selectors, operand coefficients, bus addresses and
-multiplicities) lives in 35 preprocessed columns — a pure function of the
+multiplicities) lives in 36 preprocessed columns — a pure function of the
 child STATEMENT, never of the proof — so the machine's preprocessed
 commitment is the verification key binding exactly "this trace verifies
 those child statements".
@@ -67,9 +67,10 @@ KEEP = 15
 SEL_OUTW = 16
 SEL_COPY = 17
 SEL_FMA = 18
-ADDR0 = 19                  # ADDR0+p: port address
-MULT0 = 19 + N_PORTS        # MULT0+p: port multiplicity
-N_CONSTS = MULT0 + N_PORTS  # 35
+SEL_BIT = 19                # fresh boolean witness: V3'·(V3'−1) = 0
+ADDR0 = 20                  # ADDR0+p: port address
+MULT0 = 20 + N_PORTS        # MULT0+p: port multiplicity
+N_CONSTS = MULT0 + N_PORTS  # 36
 
 # FMA payload layout within C0..C11
 FMA_CA = 0                  # C0, C1 = const of operand A (ext)
@@ -95,6 +96,7 @@ class _FmaRow:
     out_addr: int = 0
     is_assert: bool = False
     compute: bool = True     # False: fresh row (out unconstrained)
+    is_bit: bool = False     # fresh row whose value is constrained boolean
     public_index: int = -1
 
 
@@ -223,6 +225,13 @@ class _Lowerer:
         self._emit(_FmaRow(out_addr=addr, compute=False))
         return addr
 
+    def _fresh_bit(self, value) -> int:
+        """Fresh witness constrained boolean by the row itself — one row
+        instead of fresh + assert."""
+        addr = self._alloc(value) if self.witness else self._alloc_stmt()
+        self._emit(_FmaRow(out_addr=addr, compute=False, is_bit=True))
+        return addr
+
     def _fma_row(self, a, b, c, out_value=None, is_assert=False):
         """Emit out = A·B + C (or assert A·B + C == 0)."""
         oa, ob, oc = self._operand(a), self._operand(b), self._operand(c)
@@ -316,14 +325,9 @@ class _Lowerer:
         bit_addrs = []
         for i in range(nbits):
             bv = ((xval[0] >> i) & 1) if self.witness else None
-            addr = self._fresh_value((bv, 0) if self.witness else None)
+            addr = self._fresh_bit((bv, 0) if self.witness else None)
             self.bit_addr[self.ssa.BitRef(node=node.node, index=i)] = addr
             bit_addrs.append(addr)
-            # booleanness: b·b − b == 0
-            self._emit(_FmaRow(a=(1, addr, (0, 0)),
-                               b=(1, addr, (0, 0)),
-                               c=(P - 1, addr, (0, 0)),
-                               is_assert=True))
         acc = self._recompose(bit_addrs, 0)
         # Σ 2^i·b_i == x
         self._emit(_FmaRow(a=(1, acc, (0, 0)),
@@ -389,13 +393,8 @@ class _Lowerer:
         if self.witness:
             zval = (1, 0) if dval[0] == 0 else (0, 0)
             wval = (0, 0) if dval[0] == 0 else (pow(dval[0], P - 2, P), 0)
-        z = self._fresh_value(zval)
+        z = self._fresh_bit(zval)
         winv = self._fresh_value(wval)
-        # z boolean
-        self._emit(_FmaRow(a=(1, z, (0, 0)),
-                           b=(1, z, (0, 0)),
-                           c=(P - 1, z, (0, 0)),
-                           is_assert=True))
         # winv·diff + z − 1 == 0  (z=0 ⟹ diff invertible ⟹ hi ≠ 2^32−1)
         self._emit(_FmaRow(a=(1, winv, (0, 0)),
                            b=(1, diff, (0, 0)),
@@ -457,6 +456,8 @@ class MachineAir(Air):
         reads = self.program.reads
         for it in self.program.items:
             if isinstance(it, _FmaRow):
+                if it.is_bit:
+                    cols[SEL_BIT, r] = 1
                 if it.compute:
                     cols[SEL_FMA, r] = 1
                     (fa, aa, ca), (fb, ab, cb), (fc, ac, cc) = \
@@ -596,6 +597,10 @@ class MachineAir(Air):
                                             alg.add(ab1, C[1]))))
         out.append(alg.mul(sel_fma, alg.mul(isa, nxt[_v0(3)])))
         out.append(alg.mul(sel_fma, alg.mul(isa, nxt[_v1(3)])))
+        sel_bit = consts[SEL_BIT]
+        out.append(alg.mul(sel_bit, alg.mul(nxt[_v0(3)],
+                                            alg.sub(nxt[_v0(3)], one))))
+        out.append(alg.mul(sel_bit, nxt[_v1(3)]))
 
         # port hygiene: absorbed / published values are base field; outputs
         # wired to the state
@@ -699,6 +704,11 @@ class MachineAir(Air):
         isa = gl.mul(*cst(FMA_ASSERT), *sf)
         out.append(gl.mul(*isa, *nxt[_v0(3)]))
         out.append(gl.mul(*isa, *nxt[_v1(3)]))
+        sb = consts[SEL_BIT]
+        v30 = nxt[_v0(3)]
+        bm1 = gl.sub(*v30, jnp.uint32(1), jnp.uint32(0))
+        out.append(gl.mul(*gl.mul(*v30, *bm1), *sb))
+        out.append(gl.mul(*sb, *nxt[_v1(3)]))
 
         so = sel[SEL_OUTW]
         ss = sel[SEL_STAGE]

@@ -127,8 +127,9 @@ def _merkle_walk(b: Builder, digest, bits, levels, sib_values, tag):
         left, right = [], []
         for j in range(DIGEST):
             d, s = digest[j], sibs[j]
-            l_ = b.fma(bit, b.sub(s, d), d)           # bit ? sib : dig
-            r_ = b.sub(b.add(d, s), l_)               # the other one
+            sd = b.materialize(b.sub(s, d))           # shared s−d slot
+            l_ = b.fma(bit, sd, d)                    # bit ? sib : dig
+            r_ = b.fma(bit, sd.scaled(P - 1), s)      # the other one
             left.append(l_)
             right.append(r_)
         _, outs = b.duplex(left + right, keep_state=False, prev=-1)

@@ -147,6 +147,7 @@ class Builder:
         self.bitvals: dict[BitRef, int] = {}
         self._next = 0
         self.n_public = 0
+        self._const_cache: dict[tuple, int] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -203,14 +204,21 @@ class Builder:
         return Affine(terms={vid: 1})
 
     def const_value(self, v) -> Affine:
-        """A constant pinned into a value slot (out = const·1 + 0)."""
+        """A constant pinned into a value slot (out = const·1 + 0).
+        Memoized: repeated constants (zero pads, shared table entries)
+        share one slot — identically in both modes, so the tape structure
+        stays statement-deterministic."""
         if isinstance(v, int):
             v = (v % P, 0)
+        cached = self._const_cache.get(v)
+        if cached is not None:
+            return Affine(terms={cached: 1})
         vid = self._vid()
         self.nodes.append(Fma(a=Affine(const=v),
                               b=Affine(const=ext_py.ONE),
                               c=Affine(const=ext_py.ZERO), out=vid))
         self.values[vid] = v
+        self._const_cache[v] = vid
         return Affine(terms={vid: 1})
 
     def materialize(self, a) -> Affine:
