@@ -153,6 +153,31 @@ def _select_cap(b: Builder, cap_handles, bits_hi):
     return entries[0]
 
 
+def _tape_pow(b: Builder, base, e: int):
+    """base^e on the tape by square-and-multiply (≈2·log e rows)."""
+    if e == 0:
+        return Affine(const=ext_py.ONE)
+    acc = None
+    sq = base
+    while e:
+        if e & 1:
+            acc = sq if acc is None else b.mul(acc, sq)
+        e >>= 1
+        if e:
+            sq = b.mul(sq, sq)
+    return acc
+
+
+def _horner(b: Builder, terms, x):
+    """Σ x^i·terms[i] with ONE fma row per term (vs mul+mul+add)."""
+    if not terms:
+        return Affine(const=ext_py.ZERO)
+    acc = terms[-1]
+    for t in reversed(terms[:-1]):
+        acc = b.fma(acc, x, t)
+    return acc
+
+
 def _pow_chain(b: Builder, base_pows, bits, start_const):
     """shift·w^(Σ bits·2^i) = start · Π (1 + b_i·(w^{2^i} − 1)) as a chain
     of bit-gated muls.  base_pows[i] = w^(2^i) as ints."""
@@ -274,12 +299,8 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
         tvals += bus_transitions(alg, list(tz), list(tzn), list(az),
                                  list(azn), consts_arg, betas, deltas, air)
 
-    acc = Affine(const=ext_py.ZERO)
-    a_pow = Affine(const=ext_py.ONE)
     mask = b.sub(zeta, Affine(const=(x_last, 0)))
-    for t in tvals:
-        acc = b.add(acc, b.mul(a_pow, b.mul(t, mask)))
-        a_pow = b.mul(a_pow, alpha)
+    terms = [b.mul(t, mask) for t in tvals]
     all_at_zeta = tz + az
     boundaries = list(air.boundaries(public)) + \
         (lookup_boundaries(air) if (lookups or ports) else [])
@@ -288,14 +309,10 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
         diff = b.sub(all_at_zeta[col], Affine(const=(int(value) % P, 0)))
         den_inv = b.inverse(b.sub(zeta, Affine(const=(x_r, 0))),
                             where=f"bnd{row}.{col}")
-        acc = b.add(acc, b.mul(a_pow, b.mul(b.mul(diff, zh_zeta), den_inv)))
-        a_pow = b.mul(a_pow, alpha)
+        terms.append(b.mul(b.mul(diff, zh_zeta), den_inv))
+    acc = _horner(b, terms, alpha)
 
-    q_zeta = Affine(const=ext_py.ZERO)
-    z_pow = Affine(const=ext_py.ONE)
-    for k in range(chunks):
-        q_zeta = b.add(q_zeta, b.mul(z_pow, qz[k]))
-        z_pow = b.mul(z_pow, z_n)
+    q_zeta = _horner(b, qz, z_n)
     b.assert_zero(q_zeta, zh_zeta, acc.scaled(P - 1), where="zeta_identity")
 
     # ---- FRI replay (fri.py:225-255) -------------------------------------
@@ -331,7 +348,9 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
     w_zeta = b.mul(zeta, Affine(const=(w, 0)))
     w_pows = [pow(_root_of_unity(log_N, inverse=False), 1 << i, P)
               for i in range(log_N)]
-    g_items = (2 * W + 2 * A + K + chunks)
+    # γ^offset for each contiguous DEEP block, hoisted out of the queries
+    block_offs = [0, W, 2 * W, 2 * W + A, 2 * W + 2 * A, 2 * W + 2 * A + K]
+    g_offs = [_tape_pow(b, gamma, e) for e in block_offs]
 
     for qi in range(fri.num_queries):
         bits = b.bitdec(idx_challenges[qi], 64, canonical=True)
@@ -377,25 +396,23 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
                 A, aux_cap, lambda j: proof.aux_openings[qi].leaf[j],
                 lambda: proof.aux_openings[qi].path, log_N, f"q{qi}.a")
 
-        # DEEP combination (verifier.py:152-193)
+        # DEEP combination (verifier.py:152-193): contiguous γ-blocks, each
+        # folded by Horner (one fma/term), then scaled by γ^offset·inv_den
         x_q = _pow_chain(b, w_pows, ibits, gl.GENERATOR)
         inv_xz = b.inverse(b.sub(x_q, zeta), where=f"q{qi}.invxz")
         inv_xwz = b.inverse(b.sub(x_q, w_zeta), where=f"q{qi}.invxwz")
-        val = Affine(const=ext_py.ZERO)
-        g_pow = Affine(const=ext_py.ONE)
         groups = [(t_leaf, tz, inv_xz), (t_leaf, tzn, inv_xwz),
                   (a_leaf, az, inv_xz), (a_leaf, azn, inv_xwz),
-                  (k_leaf, kz, inv_xz)]
-        for leaf, opened, invd in groups:
-            for j in range(len(opened)):
-                diff = b.sub(leaf[j], opened[j])
-                val = b.add(val, b.mul(g_pow, b.mul(diff, invd)))
-                g_pow = b.mul(g_pow, gamma)
-        for k in range(chunks):
-            qk = _pair(b, q_leaf[2 * k], q_leaf[2 * k + 1])
-            diff = b.sub(qk, qz[k])
-            val = b.add(val, b.mul(g_pow, b.mul(diff, inv_xz)))
-            g_pow = b.mul(g_pow, gamma)
+                  (k_leaf, kz, inv_xz),
+                  ([_pair(b, q_leaf[2 * k], q_leaf[2 * k + 1])
+                    for k in range(chunks)], qz, inv_xz)]
+        val = Affine(const=ext_py.ZERO)
+        for (leaf, opened, invd), g_off in zip(groups, g_offs):
+            if not opened:
+                continue
+            diffs = [b.sub(leaf[j], opened[j]) for j in range(len(opened))]
+            h = _horner(b, diffs, gamma)
+            val = b.add(val, b.mul(b.mul(h, invd), g_off))
 
         # FRI fold walk (fri.py:283-313)
         cur_log = log_N
