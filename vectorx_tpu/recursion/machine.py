@@ -788,20 +788,17 @@ class MachineAir(Air):
             return gl.mul(*s6, al, ah)
 
         def matvec(M, al, ah, cl=None, chh=None):
-            """(R, C) uint64 const matrix times (C, N) columns (+ consts)."""
+            """(R, C) uint64 const matrix times (C, N) columns (+ consts).
+            Accumulates column-by-column: O(R*N) live memory - the (R,C,N)
+            broadcast form exhausts HBM at recursion-scale N."""
             Ml = (M & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             Mh = (M >> np.uint64(32)).astype(np.uint32)
-            pl, ph = gl.mul(al[None, :, :], ah[None, :, :],
-                            Ml[:, :, None], Mh[:, :, None])
-            while pl.shape[1] > 1:
-                half = pl.shape[1] // 2
-                sl_, sh_ = gl.add(pl[:, :half], ph[:, :half],
-                                  pl[:, half:2 * half], ph[:, half:2 * half])
-                if pl.shape[1] % 2:
-                    sl_ = jnp.concatenate([sl_, pl[:, -1:]], axis=1)
-                    sh_ = jnp.concatenate([sh_, ph[:, -1:]], axis=1)
-                pl, ph = sl_, sh_
-            rl_, rh_ = pl[:, 0], ph[:, 0]
+            acc = None
+            for c in range(M.shape[1]):
+                t = gl.mul(al[c][None, :], ah[c][None, :],
+                           Ml[:, c][:, None], Mh[:, c][:, None])
+                acc = t if acc is None else gl.add(*acc, *t)
+            rl_, rh_ = acc
             if cl is not None:
                 rl_, rh_ = gl.add(rl_, rh_, cl[:, None], chh[:, None])
             return rl_, rh_

@@ -24,7 +24,7 @@ from vectorx_tpu.stark.air import (NUM_LOOKUP_SETS, bus_aux_layout,
                                    bus_transitions, lookup_boundaries,
                                    lookup_transitions)
 from vectorx_tpu.stark.prover import _num_quotient_chunks, preprocess
-from vectorx_tpu.recursion.ssa import Affine, Builder
+from vectorx_tpu.recursion.ssa import Affine, BitRef, Builder
 
 P = gl.P
 EXT_X = (0, 1)           # the extension generator: pair (a, b) = a + b·x
@@ -191,11 +191,20 @@ def _pow_chain(b: Builder, base_pows, bits, start_const):
 
 
 def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
-                  preprocessed=None):
+                  preprocessed=None, public_handles=None):
     """Replay the verification of `proof` (of child `air` under `config`)
     onto tape `b`.  Statement mode when proof is None.  Returns the number
     of public inputs consumed (child publics are exposed as tape publics
-    starting at `public_offset`)."""
+    starting at `public_offset`).
+
+    `public_handles`: optional list parallel to the child's publics; a
+    non-None entry is an existing tape handle WIRED in place of that
+    public — it is absorbed into the child transcript and drives the
+    child's boundary constraints, but never surfaces as a machine public.
+    This is how aggregation hides intermediate values (e.g. one child's
+    output feeding another's input) while the child proofs still bind to
+    them: a proof for different values diverges at the transcript.
+    Wired entries do not consume machine public indices."""
     n = air.n
     W = air.width
     chunks = _num_quotient_chunks(air)
@@ -218,8 +227,14 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
 
     # ---- transcript: publics + caps --------------------------------------
     pub_handles = []
+    n_exposed = 0
     for i, v in enumerate(public):
-        h = b.public(int(v) % P, public_offset + i)
+        wired = public_handles[i] if public_handles else None
+        if wired is not None:
+            h = b.materialize(Affine.of(wired))
+        else:
+            h = b.public(int(v) % P, public_offset + n_exposed)
+            n_exposed += 1
         pub_handles.append(h)
         ch.observe(h)
     const_cap = None
@@ -279,6 +294,7 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
     qz = [_pair(b, c0, c1) for (c0, c1) in qz_c]
 
     # ---- constraint identity at ζ (verifier.py:70-112) -------------------
+    ret_publics = n_exposed
     w = _root_of_unity(air.log_n, inverse=False)
     x_last = pow(w, n - 1, P)
     z_n = zeta
@@ -290,7 +306,7 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
 
     alg = TapeAlgebra(b)
     consts_arg = kz if K else None
-    tvals = list(air.transition(alg, list(tz), list(tzn), public,
+    tvals = list(air.transition(alg, list(tz), list(tzn), pub_handles,
                                 consts_arg))
     if lookups:
         tvals += lookup_transitions(alg, list(tz), list(tzn), list(az),
@@ -302,11 +318,13 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
     mask = b.sub(zeta, Affine(const=(x_last, 0)))
     terms = [b.mul(t, mask) for t in tvals]
     all_at_zeta = tz + az
-    boundaries = list(air.boundaries(public)) + \
+    boundaries = list(air.boundaries(pub_handles)) + \
         (lookup_boundaries(air) if (lookups or ports) else [])
     for (row, col, value) in boundaries:
         x_r = pow(w, row, P)
-        diff = b.sub(all_at_zeta[col], Affine(const=(int(value) % P, 0)))
+        v = value if isinstance(value, (Affine, BitRef)) \
+            else Affine(const=(int(value) % P, 0))
+        diff = b.sub(all_at_zeta[col], v)
         den_inv = b.inverse(b.sub(zeta, Affine(const=(x_r, 0))),
                             where=f"bnd{row}.{col}")
         terms.append(b.mul(b.mul(diff, zh_zeta), den_inv))
@@ -464,4 +482,4 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
             horner = b.add(b.mul(horner, x_fin), c)
         b.assert_eq(horner, value, where=f"q{qi}.final")
 
-    return len(public)
+    return ret_publics

@@ -113,9 +113,22 @@ def _fam(cols, fam):
 
 class Sha256Air(Air):
     """Full SHA-256 of a batch of messages (any number of 64-byte blocks
-    each).  Pass a single `bytes` or a list of them."""
+    each).  Pass a single `bytes` or a list of them.
 
-    def __init__(self, messages):
+    `bind` selects how the statement is bound:
+    * "consts" (default): message words + digests live in preprocessed
+      columns — the verifier must know them to derive the constants
+      commitment (cheap for large batches, but the data is public).
+    * "public": the preprocessed columns carry only the SHAPE (selector
+      layout); message words and digests are public inputs bound by
+      boundary constraints.  Inside the recursion aggregator those publics
+      can be WIRED to internal tape values (shadow.verifier_tape
+      public_handles), hiding them from the final verifier — the building
+      block for succinct composition."""
+
+    def __init__(self, messages, bind: str = "consts"):
+        assert bind in ("consts", "public")
+        self.bind = bind
         self.messages = _as_messages(messages)
         self._shape()
         super().__init__(width=WIDTH, log_n=self._log_n,
@@ -221,6 +234,7 @@ class Sha256Air(Air):
         re-hash, only to check the proof against this statement.  Accepts
         a single message + 32-byte digest or parallel lists."""
         self = object.__new__(cls)
+        self.bind = "consts"
         self.messages = _as_messages(messages)
         if isinstance(claimed_digests, (bytes, bytearray)):
             claimed_digests = [bytes(claimed_digests)]
@@ -235,11 +249,48 @@ class Sha256Air(Air):
         self._per_msg = None   # statement-only: no witness data
         return self
 
+    @classmethod
+    def public_shape(cls, block_counts: list[int]) -> "Sha256Air":
+        """Verifier-side construction for bind="public": only the SHAPE
+        (blocks per message) is statement data; message words and digests
+        arrive through the public inputs (typically wired tape handles —
+        see shadow.verifier_tape).  public_inputs() returns placeholders
+        and must be overridden by wiring."""
+        self = object.__new__(cls)
+        self.bind = "public"
+        self.messages = None
+        self.msg_blocks = [[None] * k for k in block_counts]
+        self.bases = []
+        row = 0
+        for k in block_counts:
+            self.bases.append(row)
+            row += SECTION * k + 1
+        self.total_rows = row
+        self._log_n = max(7, self.total_rows.bit_length())
+        Air.__init__(self, width=WIDTH, log_n=self._log_n,
+                     constraint_degree=4)
+        self.digests = None
+        self._per_msg = None
+        return self
+
     # -- AIR interface ------------------------------------------------------
 
     def public_inputs(self):
-        # the statement lives in the preprocessed columns (see module
-        # docstring); the constants cap binds it into the transcript
+        if self.bind == "public":
+            # shape count + per message: 16 words per padded block, then
+            # the 8 digest words; real values are supplied by wiring
+            out = [len(self.msg_blocks)]
+            for mi, blocks in enumerate(self.msg_blocks):
+                if self.messages is not None:
+                    for blk in blocks:
+                        out += [int.from_bytes(blk[4 * r:4 * r + 4], "big")
+                                for r in range(16)]
+                    out += self.digests[mi]
+                else:
+                    out += [0] * (16 * len(blocks) + 8)
+            return out
+        # bind == "consts": the statement lives in the preprocessed
+        # columns; the constants cap binds it into the transcript
         return [len(self.messages)]
 
     def constant_columns(self):
@@ -263,20 +314,37 @@ class Sha256Air(Air):
                 # H constant within the section (rows base..base+63)
                 for r in range(64):
                     cols[_CONST["sel_hcopy"], base + r] = 1
-                # message words streamed into W0 over the first 16 rows
-                for r in range(16):
-                    cols[_CONST["sel_mload"], base + r] = 1
-                    cols[_CONST["mword"], base + r] = int.from_bytes(
-                        blk[4 * r:4 * r + 4], "big")
+                if self.bind == "consts":
+                    # message words streamed into W0 over the first 16 rows
+                    for r in range(16):
+                        cols[_CONST["sel_mload"], base + r] = 1
+                        cols[_CONST["mword"], base + r] = int.from_bytes(
+                            blk[4 * r:4 * r + 4], "big")
             cols[_CONST["sel_msgstart"], mbase] = 1
-            drow = mbase + SECTION * len(blocks)
-            cols[_CONST["sel_digest"], drow] = 1
-            for i in range(8):
-                cols[_CONST[f"dig{i}"], drow] = self.digests[mi][i]
+            if self.bind == "consts":
+                drow = mbase + SECTION * len(blocks)
+                cols[_CONST["sel_digest"], drow] = 1
+                for i in range(8):
+                    cols[_CONST[f"dig{i}"], drow] = self.digests[mi][i]
         return cols
 
     def boundaries(self, public):
-        return []
+        if self.bind != "public":
+            return []
+        out = []
+        idx = 1  # public[0] = message count
+        for mi, blocks in enumerate(self.msg_blocks):
+            mbase = self.bases[mi]
+            for s in range(len(blocks)):
+                base = mbase + s * SECTION
+                for r in range(16):
+                    out.append((base + r, _COLS["W0"], public[idx]))
+                    idx += 1
+            drow = mbase + SECTION * len(blocks)
+            for i in range(8):
+                out.append((drow, _COLS[f"H{i}"], public[idx]))
+                idx += 1
+        return out
 
     def transition(self, alg, local, nxt, public, consts=None):
         from vectorx_tpu.stark.air import DeviceAlgebra
@@ -666,6 +734,7 @@ class Sha256CompressAir(Sha256Air):
     def __init__(self, block: bytes):
         assert len(block) == 64
         # bypass padding: treat the block as already padded
+        self.bind = "consts"
         self.messages = [block]
         self.msg_blocks = [[block]]
         self.bases = [0]
