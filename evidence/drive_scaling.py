@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -53,8 +53,9 @@ def main():
     assert len(devices) >= 8, "need 8 virtual devices"
     log_n = 20
     n = 1 << log_n
+    R = C = 1 << (log_n // 2)      # (R, C) row-major layout, C sharded
     rng = np.random.default_rng(0)
-    poly = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    poly = rng.integers(0, gl.P, size=(R, C), dtype=np.uint64)
     lo_h, hi_h = gl.from_u64(poly)
 
     results = {"ntt_four_step": {}, "config": {"log_n": log_n}}
