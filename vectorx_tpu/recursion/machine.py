@@ -21,17 +21,19 @@ LogUp memory bus (stark/air.py `BusPort`):
 * Multi-write rows: publish up to 8 fresh witness values (proof
   elements, inverse hints) in one row — no compute constraint.  The
   `bits` variant additionally constrains every port value boolean.
-* Poseidon slots (32 rows): stage row absorbs ≤8 bus values into the
-  sponge lanes (keeping or zeroing the rest), 30 round rows run the
-  permutation (same constraint shape as stark/poseidon_air.py), and the
-  final row publishes up to 8 output lanes onto the bus.
+* Poseidon slots (9 rows): stage row absorbs ≤8 bus values into the
+  sponge lanes (keeping or zeroing the rest); four packed full-round-pair
+  rows and two packed 11-partial-round rows run the permutation (sbox
+  witnesses live on the next row's raw columns; partial blocks use
+  precomputed affine propagation tables); the OUTW row publishes up to 8
+  output lanes onto the bus.
 
 All cross-row data flow rides the bus (order-independent multiset
 argument), so program scheduling is free: Poseidon chains are laid out
 contiguously after the FMA program regardless of tape interleaving.
 
 The program (selectors, operand coefficients, bus addresses and
-multiplicities) lives in 49 preprocessed columns — a pure function of the
+multiplicities) lives in 50 preprocessed columns — a pure function of the
 child STATEMENT, never of the proof — so the machine's preprocessed
 commitment is the verification key binding exactly "this trace verifies
 those child statements".

@@ -392,8 +392,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     xml, xmh = gl.sub(xl, xh, jnp.uint32(x_last & 0xFFFFFFFF),
                       jnp.uint32(x_last >> 32))
 
-    # α-weighted transition combination, by linearity in one stacked pass:
-    # acc = Σ_i α^i · T_i(x) · (x − x_last)
+    # α-weighted transition combination, by linearity in stacked passes:
+    # acc = Σ_i α^i · T_i(x) · (x − x_last).  Chunked along the constraint
+    # axis: stacking ALL constraints at once is O(n_trans · N) live memory,
+    # which exhausts HBM on wide AIRs at recursion-scale domains.
     n_trans = len(transition_vals)
     a_pows_t = []
     a_pow = ext_py.ONE
@@ -403,11 +405,17 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     tw = ge.from_pair_u64(
         np.array([p[0] for p in a_pows_t], dtype=np.uint64),
         np.array([p[1] for p in a_pows_t], dtype=np.uint64))
-    tsl = jnp.stack([t[0] for t in transition_vals])
-    tsh = jnp.stack([t[1] for t in transition_vals])
-    tsl, tsh = gl.mul(tsl, tsh, xml[None, :], xmh[None, :])
-    acc0 = _sum_rows(*gl.mul(tsl, tsh, tw[0][:, None], tw[1][:, None]))
-    acc1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][:, None], tw[3][:, None]))
+    CHUNK = max(1, min(n_trans, (1 << 25) // max(1, N)))
+    acc0 = acc1 = None
+    for s in range(0, n_trans, CHUNK):
+        e = min(s + CHUNK, n_trans)
+        tsl = jnp.stack([t[0] for t in transition_vals[s:e]])
+        tsh = jnp.stack([t[1] for t in transition_vals[s:e]])
+        tsl, tsh = gl.mul(tsl, tsh, xml[None, :], xmh[None, :])
+        c0 = _sum_rows(*gl.mul(tsl, tsh, tw[0][s:e, None], tw[1][s:e, None]))
+        c1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][s:e, None], tw[3][s:e, None]))
+        acc0 = c0 if acc0 is None else gl.add(*acc0, *c0)
+        acc1 = c1 if acc1 is None else gl.add(*acc1, *c1)
     acc = (*acc0, *acc1)
     boundaries = list(air.boundaries(public)) + \
         (lookup_boundaries(air) if (lookups or ports) else [])
