@@ -31,7 +31,7 @@ from vectorx_tpu.io.abi import HeaderRangeInput      # noqa: E402
 from vectorx_tpu.io.fixtures import FixtureChain     # noqa: E402
 from vectorx_tpu.stark.prover import StarkConfig     # noqa: E402
 
-CFG = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=0, num_queries=12,
+CFG = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=0, num_queries=8,
                                 final_poly_len=4, pow_bits=0))
 CHAIN = FixtureChain(seed=19, num_blocks=12, epoch_length=6,
                      authorities_per_era=lambda e: 4)
@@ -73,7 +73,7 @@ def main():
         "statement": "header_range tree=2 (blocks 8-9), all component "
                      "STARKs aggregated into ONE verifier-VM proof",
         "backend": jax.devices()[0].platform,
-        "fri_config": {"rate_bits": 3, "cap_height": 0, "num_queries": 12,
+        "fri_config": {"rate_bits": 3, "cap_height": 0, "num_queries": 8,
                        "final_poly_len": 4, "pow_bits": 0},
         "n_component_proofs": len(comp.header_proofs) + len(comp.sha_proofs),
         "component_prove_s": round(t1 - t0, 1),

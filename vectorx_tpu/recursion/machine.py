@@ -855,6 +855,7 @@ class MachineAir(Air):
         st = gl.sub(xl, xh, *gl.add(*absorbed, *stay))
         tl, th = gl.add(tl, th, *gate(st, sel[SEL_STAGE]))
         out.extend((tl[i], th[i]) for i in range(WIDTH))
+        del f_out, p_out, absorbed, stay, st, v0l, v0h, one_m_am
         # sbox-witness constraints
         kl, kh = gate(gl.sub(sbl, sbh, u7l, u7h), sel[SEL_FPACK])
         za = gate(gl.sub(sbl[:N_PARTIAL], sbh[:N_PARTIAL], *p_sbox[0]),
@@ -868,6 +869,7 @@ class MachineAir(Air):
                 out.append((pa_ext[0][k], pa_ext[1][k]))
             else:
                 out.append((kl[k], kh[k]))
+        del u7l, u7h, p_sbox, sbl, sbh, kl, kh, za, zb, pa_ext
 
         # FMA units
         def cst(i):

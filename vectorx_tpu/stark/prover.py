@@ -396,6 +396,7 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
     # acc = Σ_i α^i · T_i(x) · (x − x_last).  Chunked along the constraint
     # axis: stacking ALL constraints at once is O(n_trans · N) live memory,
     # which exhausts HBM on wide AIRs at recursion-scale domains.
+    transition_vals = list(transition_vals)
     n_trans = len(transition_vals)
     a_pows_t = []
     a_pow = ext_py.ONE
@@ -416,7 +417,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         c1 = _sum_rows(*gl.mul(tsl, tsh, tw[2][s:e, None], tw[3][s:e, None]))
         acc0 = c0 if acc0 is None else gl.add(*acc0, *c0)
         acc1 = c1 if acc1 is None else gl.add(*acc1, *c1)
+        # free consumed constraint buffers promptly (HBM pressure)
+        transition_vals[s:e] = [None] * (e - s)
     acc = (*acc0, *acc1)
+    del transition_vals
     boundaries = list(air.boundaries(public)) + \
         (lookup_boundaries(air) if (lookups or ports) else [])
     if boundaries:
