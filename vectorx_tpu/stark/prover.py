@@ -459,10 +459,16 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
         acc = ge.add(acc, (*term[0], *term[1]))
 
     # ---- quotient ---------------------------------------------------------
+    # the rolled next-row copies are dead past constraint evaluation
+    del local, nxt
+    if lookups or ports:
+        del aux_local, aux_nxt
     q0 = gl.mul(acc[0], acc[1], zhinv_l, zhinv_h)
     q1 = gl.mul(acc[2], acc[3], zhinv_l, zhinv_h)
+    del acc
     qc0 = coset_intt(*q0)
     qc1 = coset_intt(*q1)
+    del q0, q1
     chunks = _num_quotient_chunks(air)
     c0_host = gl.to_u64(*qc0)
     c1_host = gl.to_u64(*qc1)
@@ -540,10 +546,20 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig()
 
     def base_group(cols_l, cols_h, weights, scalar_sum, inv_den):
         """Σ_j γ_j (P_j(x) − y_j) · inv_den for base-field columns, by
-        linearity: ONE weighted column-sum instead of per-column passes."""
+        linearity: weighted column-sums, chunked along the column axis to
+        bound live HBM at recursion-scale domains."""
         w0l, w0h, w1l, w1h = weights
-        s0 = _sum_rows(*gl.mul(cols_l, cols_h, w0l[:, None], w0h[:, None]))
-        s1 = _sum_rows(*gl.mul(cols_l, cols_h, w1l[:, None], w1h[:, None]))
+        B = cols_l.shape[0]
+        CH = max(1, min(B, (1 << 25) // max(1, N)))
+        s0 = s1 = None
+        for s in range(0, B, CH):
+            e = min(s + CH, B)
+            c0 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                                   w0l[s:e, None], w0h[s:e, None]))
+            c1 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                                   w1l[s:e, None], w1h[s:e, None]))
+            s0 = c0 if s0 is None else gl.add(*s0, *c0)
+            s1 = c1 if s1 is None else gl.add(*s1, *c1)
         diff = ge.sub((*s0, *s1), tuple(
             jnp.broadcast_to(v, s0[0].shape)
             for v in _ext_from_pair(scalar_sum)))
