@@ -97,6 +97,9 @@ def _layout():
     for g in range(4):
         for add_i in range(4):
             names += [f"C{g}_{add_i}_{i}" for i in range(4)]
+    # digest limbs as word columns (bindable by boundaries in public mode)
+    for w in range(4):
+        names += [f"DG{w}lo", f"DG{w}hi"]
     return {n: i for i, n in enumerate(names)}
 
 _COLS = _layout()
@@ -107,7 +110,10 @@ _CONST_NAMES = (["sel_col", "sel_diag", "sel_state", "sel_hcopy",
                  "v12init_lo", "v12init_hi", "v14init_lo", "v14init_hi",
                  # statement binding (batched statements live in the
                  # preprocessed columns — see sha256_air module docstring)
-                 "sel_msgstart", "sel_digest"]
+                 "sel_msgstart", "sel_digest",
+                 # mode gates: = sel_init / sel_digest in bind="consts",
+                 # zero in bind="public" (statement moves to boundaries)
+                 "sel_mpin", "sel_dgpin"]
                 + [f"mc{w}{p}" for w in range(16) for p in ("lo", "hi")]
                 + [f"dg{w}{p}" for w in range(4) for p in ("lo", "hi")]
                 + [f"sig{g}_{op}_{w}" for g in range(4) for op in (0, 1)
@@ -145,12 +151,31 @@ class Blake2bAir(Air):
     """Blake2b-256 (digest_size=32, no key) of a batch of messages.
     Pass a single `bytes` or a list of them."""
 
-    def __init__(self, messages):
+    def __init__(self, messages, bind: str = "consts"):
+        assert bind in ("consts", "public")
+        self.bind = bind
         self.messages = _as_messages(messages)
         self._shape()
         super().__init__(width=WIDTH, log_n=self._log_n,
                          constraint_degree=4)
         self._run()
+
+    @classmethod
+    def public_shape(cls, msg_lens: list[int]) -> "Blake2bAir":
+        """Verifier-side construction for bind="public": only message
+        LENGTHS are statement data; message limbs and digest limbs arrive
+        through the public inputs (typically wired tape handles)."""
+        self = object.__new__(cls)
+        self.bind = "public"
+        # zero messages of the right lengths fix the shape (t counters,
+        # section counts) without fixing any content
+        self.messages = [b"\x00" * L for L in msg_lens]
+        self._shape()
+        Air.__init__(self, width=WIDTH, log_n=self._log_n,
+                     constraint_degree=4)
+        self.msg_digest_words = None
+        self._per_msg = None
+        return self
 
     def _shape(self):
         assert self.messages
@@ -275,6 +300,22 @@ class Blake2bAir(Air):
     # -- AIR interface ------------------------------------------------------
 
     def public_inputs(self):
+        if self.bind == "public":
+            # shape count + per message: 32 limbs per 128-B section, then
+            # 8 digest limbs; real values are supplied by wiring
+            out = [len(self.messages)]
+            for mi, blocks in enumerate(self.msg_blocks):
+                for blk in blocks:
+                    for w in range(16):
+                        mw = int.from_bytes(blk[8 * w:8 * w + 8], "little")
+                        out += [mw & 0xFFFFFFFF, mw >> 32]
+                if self.msg_digest_words is not None:
+                    for w in range(4):
+                        dw = self.msg_digest_words[mi][w]
+                        out += [dw & 0xFFFFFFFF, dw >> 32]
+                else:
+                    out += [0] * 8
+            return out
         # the statement lives in the preprocessed columns (see the
         # sha256_air module docstring); the constants cap binds it
         return [len(self.messages)]
@@ -310,23 +351,44 @@ class Blake2bAir(Air):
                 cols[_CONST["v12init_hi"], base] = v12 >> 32
                 cols[_CONST["v14init_lo"], base] = v14 & 0xFFFFFFFF
                 cols[_CONST["v14init_hi"], base] = v14 >> 32
-                # statement: the section's message limbs, bound to the M
-                # witness columns at the section-start row
-                for w in range(16):
-                    mw = int.from_bytes(blk[8 * w:8 * w + 8], "little")
-                    cols[_CONST[f"mc{w}lo"], base] = mw & 0xFFFFFFFF
-                    cols[_CONST[f"mc{w}hi"], base] = mw >> 32
+                if self.bind == "consts":
+                    # statement: the section's message limbs, bound to the
+                    # M witness columns at the section-start row
+                    cols[_CONST["sel_mpin"], base] = 1
+                    for w in range(16):
+                        mw = int.from_bytes(blk[8 * w:8 * w + 8], "little")
+                        cols[_CONST[f"mc{w}lo"], base] = mw & 0xFFFFFFFF
+                        cols[_CONST[f"mc{w}hi"], base] = mw >> 32
             cols[_CONST["sel_msgstart"], mbase] = 1
             drow = mbase + SECTION * len(blocks)
             cols[_CONST["sel_digest"], drow] = 1
-            for w in range(4):
-                dw = self.msg_digest_words[mi][w]
-                cols[_CONST[f"dg{w}lo"], drow] = dw & 0xFFFFFFFF
-                cols[_CONST[f"dg{w}hi"], drow] = dw >> 32
+            if self.bind == "consts":
+                cols[_CONST["sel_dgpin"], drow] = 1
+                for w in range(4):
+                    dw = self.msg_digest_words[mi][w]
+                    cols[_CONST[f"dg{w}lo"], drow] = dw & 0xFFFFFFFF
+                    cols[_CONST[f"dg{w}hi"], drow] = dw >> 32
         return cols
 
     def boundaries(self, public):
-        return []
+        if self.bind != "public":
+            return []
+        out = []
+        idx = 1  # public[0] = message count
+        for mi, blocks in enumerate(self.msg_blocks):
+            mbase = self.bases[mi]
+            for si in range(len(blocks)):
+                base = mbase + si * SECTION
+                for w in range(16):
+                    out.append((base, _COLS[f"M{w}lo"], public[idx]))
+                    out.append((base, _COLS[f"M{w}hi"], public[idx + 1]))
+                    idx += 2
+            drow = mbase + SECTION * len(blocks)
+            for w in range(4):
+                out.append((drow, _COLS[f"DG{w}lo"], public[idx]))
+                out.append((drow, _COLS[f"DG{w}hi"], public[idx + 1]))
+                idx += 2
+        return out
 
     # The transition is generated and shared by the scalar (verifier) and
     # device (prover) paths; the device path is a stacked re-emission of the
@@ -522,10 +584,11 @@ class Blake2bAir(Air):
         # message limbs pin to the preprocessed mc columns at each section
         # start, the chain loads the parameterized IV at message starts,
         # and the digest row pins the first 4 chain words to dg columns
+        sel_mpin = consts[_CONST["sel_mpin"]]
         for w in range(16):
-            gate(sel_init, alg.sub(local[_COLS[f"M{w}lo"]],
+            gate(sel_mpin, alg.sub(local[_COLS[f"M{w}lo"]],
                                    consts[_CONST[f"mc{w}lo"]]))
-            gate(sel_init, alg.sub(local[_COLS[f"M{w}hi"]],
+            gate(sel_mpin, alg.sub(local[_COLS[f"M{w}hi"]],
                                    consts[_CONST[f"mc{w}hi"]]))
         sel_msgstart = consts[_CONST["sel_msgstart"]]
         for w in range(8):
@@ -534,12 +597,20 @@ class Blake2bAir(Air):
                 gate(sel_msgstart,
                      alg.sub(hb[i], alg.constant((_H0[w] >> i) & 1)))
         sel_digest = consts[_CONST["sel_digest"]]
+        sel_dgpin = consts[_CONST["sel_dgpin"]]
         for w in range(4):
             hb = _hbits(local, w)
-            gate(sel_digest, alg.sub(word32(hb[:32]),
-                                     consts[_CONST[f"dg{w}lo"]]))
-            gate(sel_digest, alg.sub(word32(hb[32:]),
-                                     consts[_CONST[f"dg{w}hi"]]))
+            gate(sel_dgpin, alg.sub(word32(hb[:32]),
+                                    consts[_CONST[f"dg{w}lo"]]))
+            gate(sel_dgpin, alg.sub(word32(hb[32:]),
+                                    consts[_CONST[f"dg{w}hi"]]))
+        # digest-limb word columns (boundary-bindable in public mode)
+        for w in range(4):
+            hb = _hbits(local, w)
+            gate(sel_digest, alg.sub(local[_COLS[f"DG{w}lo"]],
+                                     word32(hb[:32])))
+            gate(sel_digest, alg.sub(local[_COLS[f"DG{w}hi"]],
+                                     word32(hb[32:])))
 
         return out
     # -- witness ------------------------------------------------------------
@@ -592,6 +663,10 @@ class Blake2bAir(Air):
             for i in range(64):
                 tr[_COLS[f"H{w}_{i}"], final_row] = \
                     (chains[-1][w] >> i) & 1
+        for w in range(4):
+            dw = chains[-1][w]
+            tr[_COLS[f"DG{w}lo"], final_row] = dw & 0xFFFFFFFF
+            tr[_COLS[f"DG{w}hi"], final_row] = dw >> 32
 
     @classmethod
     def statement(cls, messages, claimed_digests) -> "Blake2bAir":
@@ -599,6 +674,7 @@ class Blake2bAir(Air):
         without computing any hash.  Accepts a single message + digest or
         parallel lists."""
         self = object.__new__(cls)
+        self.bind = "consts"
         self.messages = _as_messages(messages)
         if isinstance(claimed_digests, (bytes, bytearray)):
             claimed_digests = [bytes(claimed_digests)]
@@ -884,7 +960,8 @@ class Blake2bAir(Air):
                          for w in range(16) for p in ("lo", "hi")]),
               jnp.stack([consts[_CONST[f"mc{w}{p}"]][1]
                          for w in range(16) for p in ("lo", "hi")]))
-        gate_rows("sel_init", sub(mb, mc))
+        sel_mp = consts[_CONST["sel_mpin"]]
+        gate_rows((sel_mp[0], sel_mp[1]), sub(mb, mc))
         # chain = parameterized IV at message starts (w-major, bit-minor)
         h0bits = np.array([(_H0[w] >> i) & 1 for w in range(8)
                            for i in range(64)], dtype=np.uint32)
@@ -893,12 +970,21 @@ class Blake2bAir(Air):
         gate_rows((sel_ms[0], sel_ms[1]), e_ms)
         # digest row: first 4 chain words vs dg columns (w-major, lo/hi)
         sel_dg = consts[_CONST["sel_digest"]]
+        sel_dgp = consts[_CONST["sel_dgpin"]]
+        hws = []
         for w in range(4):
             hwb = stack_range(local, _COLS[f"H{w}_0"], 64)
             lo = word32_axis((hwb[0][None, :32], hwb[1][None, :32]))
             hi = word32_axis((hwb[0][None, 32:], hwb[1][None, 32:]))
-            e_lo = sub((lo[0][0], lo[1][0]), consts[_CONST[f"dg{w}lo"]])
-            e_hi = sub((hi[0][0], hi[1][0]), consts[_CONST[f"dg{w}hi"]])
+            hws.append(((lo[0][0], lo[1][0]), (hi[0][0], hi[1][0])))
+            e_lo = sub(hws[w][0], consts[_CONST[f"dg{w}lo"]])
+            e_hi = sub(hws[w][1], consts[_CONST[f"dg{w}hi"]])
+            out.append(mul(sel_dgp, e_lo))
+            out.append(mul(sel_dgp, e_hi))
+        # digest-limb word columns (boundary-bindable in public mode)
+        for w in range(4):
+            e_lo = sub(local[_COLS[f"DG{w}lo"]], hws[w][0])
+            e_hi = sub(local[_COLS[f"DG{w}hi"]], hws[w][1])
             out.append(mul(sel_dg, e_lo))
             out.append(mul(sel_dg, e_hi))
 
