@@ -136,3 +136,110 @@ def verify_sha_tree(leaves: list[bytes], root: bytes, tree: ShaTreeProof,
 
 def sha_tree_root(leaves: list[bytes]) -> bytes:
     return _tree_levels(leaves)[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# Succinct Blake2b hash chain: the core of header_range succinctness.
+# Verifier sees ONLY (trusted_hash, final_hash); the header bytes and all
+# intermediate hashes are witness values inside ONE machine proof.
+# Hash-linking needs no data-dependent decode: parent_hash is bytes 0..32
+# of the encoded header (/root/reference/circuits/builder/decoder.rs:104 —
+# static offset), i.e. message words M0..M3 of section 0.
+# ---------------------------------------------------------------------------
+
+def _limbs32(data: bytes) -> list[int]:
+    """Little-endian u64 words as (lo, hi) u32 limb pairs, flattened."""
+    out = []
+    for w in range(0, len(data), 8):
+        v = int.from_bytes(data[w:w + 8], "little")
+        out += [v & 0xFFFFFFFF, v >> 32]
+    return out
+
+
+@dataclass
+class HashChainProof:
+    proof: object          # ONE machine StarkProof
+    header_lens: list      # statement: the encoded header sizes
+
+
+def _chain_tape(b: Builder, header_lens, trusted: bytes, final: bytes,
+                child_config, proof, headers):
+    """Machine publics: 8 trusted-hash limbs + 8 final-hash limbs.
+    Everything else — header bytes, intermediate hashes — is witness."""
+    from vectorx_tpu.stark.blake2b_air import Blake2bAir, blake2b_pad
+
+    trusted_h = [b.public(v, i) for i, v in enumerate(_limbs32(trusted))]
+    final_h = [b.public(v, 8 + i) for i, v in enumerate(_limbs32(final))]
+
+    air = Blake2bAir.public_shape(list(header_lens))
+    ph = [Affine(const=(len(header_lens), 0))]
+    prev_digest = trusted_h
+    for mi, length in enumerate(header_lens):
+        padded = blake2b_pad(headers[mi]) if headers else None
+        limbs = _limbs32(b"".join(padded)) if padded else None
+        n_sections = max(1, (length + 127) // 128)
+        for s in range(n_sections):
+            for li in range(32):
+                if s == 0 and li < 8:
+                    # parent-hash field == previous header's digest
+                    ph.append(prev_digest[li])
+                else:
+                    v = limbs[32 * s + li] if limbs is not None else None
+                    ph.append(b.fresh((v, 0) if v is not None else None,
+                                      f"hdr{mi}.{s}.{li}"))
+        if mi == len(header_lens) - 1:
+            dig = final_h
+        else:
+            dv = _limbs32(hashlib.blake2b(headers[mi],
+                                          digest_size=32).digest()) \
+                if headers else [None] * 8
+            dig = [b.fresh((v, 0) if v is not None else None,
+                           f"dig{mi}.{j}") for j, v in enumerate(dv)]
+        ph += dig
+        prev_digest = dig
+    pre = preprocess(air, child_config)
+    verifier_tape(b, air, child_config, proof=proof, preprocessed=pre,
+                  public_handles=ph)
+
+
+def prove_hash_chain(headers: list[bytes], child_config: StarkConfig,
+                     outer_config: StarkConfig | None = None
+                     ) -> HashChainProof:
+    """ONE machine proof of: header_0.parent == trusted, header_i.parent ==
+    Blake2b(header_{i-1}), Blake2b(header_last) == final — with every
+    header byte hidden.  `trusted` is read from header_0's first 32 bytes;
+    `final` is the last header's hash."""
+    outer_config = outer_config or child_config
+    from vectorx_tpu.stark.blake2b_air import Blake2bAir
+
+    for i in range(1, len(headers)):
+        assert headers[i][:32] == hashlib.blake2b(
+            headers[i - 1], digest_size=32).digest(), "headers do not link"
+    trusted = headers[0][:32]
+    final = hashlib.blake2b(headers[-1], digest_size=32).digest()
+    air = Blake2bAir(headers, bind="public")
+    child = prove(air, air.build_trace(), child_config)
+    bld = Builder(witness=True)
+    _chain_tape(bld, [len(h) for h in headers], trusted, final,
+                child_config, child, headers)
+    prog = compile_tape(bld)
+    mair = MachineAir(prog)
+    return HashChainProof(
+        proof=prove(mair, mair.build_trace(), outer_config),
+        header_lens=[len(h) for h in headers])
+
+
+def verify_hash_chain(trusted: bytes, final: bytes, chain: HashChainProof,
+                      child_config: StarkConfig,
+                      outer_config: StarkConfig | None = None) -> bool:
+    """Checks ONE machine proof against (trusted_hash, final_hash) and the
+    statement header sizes — no header bytes are ever seen."""
+    outer_config = outer_config or child_config
+    try:
+        bld = Builder(witness=False)
+        _chain_tape(bld, chain.header_lens, trusted, final,
+                    child_config, None, None)
+        mair = MachineAir(compile_tape(bld))
+        return verify(mair, chain.proof, outer_config)
+    except Exception:
+        return False
