@@ -180,7 +180,10 @@ def verify_header_range_zk(proof: ZkHeaderRangeProof, tree_size: int,
     prev_hash = inp.trusted_header_hash
     for i, (enc, claimed) in enumerate(zip(proof.headers,
                                            proof.header_hashes)):
-        d = decode_header_fields(enc, len(enc))
+        try:
+            d = decode_header_fields(enc, len(enc))
+        except Exception:
+            return False  # malformed attacker-controlled header bytes
         if d.parent_hash != prev_hash:
             return False
         if d.block_number != inp.trusted_block + 1 + i:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from vectorx_tpu.stark.prover import StarkConfig, preprocess, prove
+from vectorx_tpu.stark.prover import StarkConfig, prove
 from vectorx_tpu.stark.verifier import verify
 from vectorx_tpu.recursion.machine import MachineAir, compile_tape
 from vectorx_tpu.recursion.shadow import verifier_tape
@@ -43,12 +43,13 @@ def _build_tape(children, child_config, proofs=None):
     off = 0
     for i, air in enumerate(children):
         offsets.append(off)
-        pre = preprocess(air, child_config) \
-            if air.constant_columns().shape[0] else None
+        # the child's constants cap comes from the content-addressed VK
+        # cache inside verifier_tape (stark/vk.py) — never recomputed per
+        # verify once a shape has been seen
         off += verifier_tape(
             b, air, child_config,
             proof=proofs[i] if proofs is not None else None,
-            public_offset=off, preprocessed=pre)
+            public_offset=off)
     return b, offsets
 
 

@@ -240,10 +240,15 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
     const_cap = None
     if K:
         # the preprocessed commitment is derived from the AIR — program
-        # constants, never proof data (verifier.py:39-46)
-        const_tree = preprocessed[0] if preprocessed else \
-            preprocess(air, config)[0]
-        const_cap = const_tree.cap_ints()
+        # constants, never proof data (verifier.py:39-46).  Only the cap
+        # is needed; it comes from the content-addressed VK cache unless
+        # the caller passes a preprocess() result.
+        if preprocessed is not None:
+            const_cap = preprocessed[0].cap_ints()
+        else:
+            from vectorx_tpu.stark.vk import constants_cap
+
+            const_cap = constants_cap(air, config)
         for d in const_cap:
             for v in d:
                 ch.observe_int(int(v))

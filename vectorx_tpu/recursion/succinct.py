@@ -15,7 +15,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from vectorx_tpu.stark.prover import StarkConfig, preprocess, prove
+from vectorx_tpu.stark.prover import StarkConfig, prove
 from vectorx_tpu.stark.sha256_air import Sha256Air
 from vectorx_tpu.stark.verifier import verify
 from vectorx_tpu.recursion.machine import MachineAir, compile_tape
@@ -83,10 +83,9 @@ def _tree_tape(b: Builder, n_leaves: int, leaves, root, child_config,
                                f"t{lvl}.{i}.{j}") for j, v in enumerate(vals)]
             ph += dig
             outs.append(dig)
-        pre = preprocess(air, child_config)
         verifier_tape(b, air, child_config,
                       proof=proofs[lvl] if proofs else None,
-                      preprocessed=pre, public_handles=ph)
+                      public_handles=ph)
         cur = outs
         lvl += 1
 
@@ -183,6 +182,12 @@ def _chain_tape(b: Builder, header_lens, trusted: bytes, final: bytes,
                 if s == 0 and li < 8:
                     # parent-hash field == previous header's digest
                     ph.append(prev_digest[li])
+                elif 128 * s + 4 * li >= length:
+                    # zero-pad region (blake2b_pad): pinned constants, so
+                    # the statement is Blake2b of a length-`length` message
+                    # (a limb straddling the boundary stays witness; its
+                    # ≤3 pad bytes are determined by the pinned digest)
+                    ph.append(Affine(const=(0, 0)))
                 else:
                     v = limbs[32 * s + li] if limbs is not None else None
                     ph.append(b.fresh((v, 0) if v is not None else None,
@@ -197,8 +202,7 @@ def _chain_tape(b: Builder, header_lens, trusted: bytes, final: bytes,
                            f"dig{mi}.{j}") for j, v in enumerate(dv)]
         ph += dig
         prev_digest = dig
-    pre = preprocess(air, child_config)
-    verifier_tape(b, air, child_config, proof=proof, preprocessed=pre,
+    verifier_tape(b, air, child_config, proof=proof,
                   public_handles=ph)
 
 

@@ -36,9 +36,15 @@ class DeviceAlgebra:
         return gl.mul(a[0], a[1], b[0], b[1])
 
     @staticmethod
-    def constant(v: int):
+    def constant(v):
         import jax.numpy as jnp
 
+        if isinstance(v, tuple):
+            # already a (lo, hi) device pair — e.g. a TRACED challenge
+            # inside the jitted composition path (prover.py), where the
+            # Fiat-Shamir values must be runtime inputs so the compiled
+            # graph is challenge-independent and cache-stable
+            return v
         v %= gl.P
         return (jnp.uint32(v & 0xFFFFFFFF), jnp.uint32(v >> 32))
 
@@ -177,8 +183,8 @@ def _lookup_transitions_device(local, aux_local, aux_next, consts, betas,
     t_h = jnp.stack([consts[lk.table][1] for lk in lookups])
     out = []
     for s, beta in enumerate(betas):
-        bl = jnp.uint32(beta & 0xFFFFFFFF)
-        bh = jnp.uint32(beta >> 32)
+        bl, bh = beta if isinstance(beta, tuple) else (
+            jnp.uint32(beta & 0xFFFFFFFF), jnp.uint32(beta >> 32))
         ba = gl.sub(bl, bh, a_l, a_h)
         bb = gl.sub(bl, bh, b_l, b_h)
         bt = gl.sub(bl, bh, t_l, t_h)

@@ -76,14 +76,20 @@ COL_P = 420                  # payload j at COL_P + PAYW*j: d | k | e
 N_PAY = 8
 _PAY_END = COL_P + PAYW * N_PAY      # 2452
 
+# sign-bit binding columns: COL_Y2D holds 2·y2b[31]; byte-checking it
+# forces y2b[31] < 128, so y2b[31] = cmp31 − 128·sgn pins sgn to the
+# statement's compressed sign bit (advisor round-2 medium finding).
+COL_Y2D, COL_PAD1 = _PAY_END, _PAY_END + 1
+
 # byte-checked column pairs (for the LogUp argument)
 _CHECK_PAIRS = (
     [(COL_P + 2 * i, COL_P + 2 * i + 1) for i in range(PAYW * N_PAY // 2)]
     + [(COL_X2B + 2 * i, COL_X2B + 2 * i + 1) for i in range(16)]
+    + [(COL_Y2B + 2 * i, COL_Y2B + 2 * i + 1) for i in range(16)]
     + [(COL_XB + 2 * i, COL_XB + 2 * i + 1) for i in range(16)]
-    + [(COL_XH, COL_PAD0)])
-COL_M = _PAY_END
-WIDTH = COL_M + len(_CHECK_PAIRS)    # 2452 + 1049 = 3501
+    + [(COL_XH, COL_PAD0), (COL_Y2D, COL_PAD1)])
+COL_M = _PAY_END + 2
+WIDTH = COL_M + len(_CHECK_PAIRS)
 
 # preprocessed columns
 _CONST_NAMES = (["table", "sel_dbl", "sel_cadd", "sel_uadd", "sel_decA",
@@ -457,6 +463,7 @@ class Ed25519LadderAir(Air):
             sgn = cmp_bytes[31] >> 7
             tr[COL_SGN, r] = sgn
             tr[COL_XH, r] = (_limbs(x)[0] - sgn) // 2
+            tr[COL_Y2D, r] = 2 * _limbs(y)[31]
             # canonicality: x + b = q−1 with byte carries
             b_val = (Q - 1) - x
             assert b_val >= 0
@@ -705,6 +712,11 @@ class Ed25519LadderAir(Air):
             local[COL_X2B],
             alg.add(alg.mul(alg.constant(2), local[COL_XH]), sgn))))
         out.append(alg.mul(sel_dec, alg.mul(sgn, alg.sub(sgn, one))))
+        # byte-checked COL_Y2D = 2·y2b[31] forces y2b[31] < 128, pinning
+        # sgn to the statement sign bit (cmp31 >> 7)
+        out.append(alg.mul(sel_dec, alg.sub(
+            local[COL_Y2D],
+            alg.mul(alg.constant(2), local[COL_Y2B + 31]))))
         # canonicality: x + b + carry_in = (q−1) limbs + 256·carry_out
         for u in range(NA):
             lhs = alg.add(local[COL_X2B + u], local[COL_XB + u])
@@ -1014,6 +1026,8 @@ class Ed25519LadderAir(Air):
         out.append(mul(sel_dec, par))
         sm1 = sub(sgn, one)
         out.append(mul(sel_dec, mul(sgn, sm1)))
+        y2d = sub(local[COL_Y2D], cmul(2, (y2b[0][31], y2b[1][31])))
+        out.append(mul(sel_dec, y2d))
         # canonicality chain
         x2b = stack(local, COL_X2B, NA)
         xb = stack(local, COL_XB, NA)

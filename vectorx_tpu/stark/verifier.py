@@ -26,6 +26,8 @@ P = gl.P
 def verify(air: Air, proof: StarkProof,
            config: StarkConfig = StarkConfig(),
            preprocessed=None) -> bool:
+    from vectorx_tpu.stark.vk import constants_cap
+
     n = air.n
     W = air.width
     chunks = _num_quotient_chunks(air)
@@ -40,10 +42,11 @@ def verify(air: Air, proof: StarkProof,
     const_cap = None
     if K:
         # the preprocessed commitment is the verifier's own "verification
-        # key" — derived from the AIR, never taken from the proof
-        const_tree = preprocessed[0] if preprocessed else \
-            preprocess(air, config)[0]
-        const_cap = const_tree.cap_ints()
+        # key" — derived from the AIR, never taken from the proof.  Only
+        # the CAP is needed (openings carry their own paths); it comes
+        # from the content-addressed VK cache (stark/vk.py).
+        const_cap = preprocessed[0].cap_ints() if preprocessed else \
+            constants_cap(air, config)
         challenger.observe_cap(const_cap)
     challenger.observe_cap(proof.trace_cap)
     lookups = air.lookups()
