@@ -8,6 +8,13 @@ The reference publishes no benchmark numbers (BASELINE.md), so
 `vs_baseline` measures against the repo's speed-of-light anchor of
 1.0 Gelem/s/chip for the radix-2 NTT (BASELINE.json north-star metric #1).
 
+Robustness (round-2 lesson: the remote-TPU tunnel can HANG during backend
+init, not fail): the benchmark body runs in a SUBPROCESS with a hard
+timeout.  TPU is attempted with retries/backoff; if every attempt times
+out or errors, the same benchmark re-runs on CPU and the emitted record is
+explicitly marked degraded with the TPU diagnostics attached.  This driver
+always prints a JSON line and always exits 0.
+
 Methodology: the remote-TPU tunnel costs ~26 ms per dispatch, so every
 kernel is timed as the MARGINAL cost of extra in-jit iterations
 (time(k=K) − time(k=1)) / (K − 1), with a scalar checksum fetched each call
@@ -15,37 +22,50 @@ to force completion (block_until_ready alone does not sync this backend).
 """
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
-import numpy as np
+TPU_ATTEMPTS = 2
+TPU_TIMEOUT_S = 900          # first compile can take minutes on the tunnel
+CPU_TIMEOUT_S = 900
+RETRY_BACKOFF_S = 30
 
 
-def _timed(f, *args, iters=7):
-    """Min-of-N timing: the remote tunnel adds noisy per-call latency, so
-    the minimum is the reliable estimator of the compute cost."""
-    s = int(f(*args))  # warm + compile + sync
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        s = int(f(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best, s
-
-
-def main():
+def _run_body(out_path: str, platform: str) -> None:
+    """Child process: run the benchmark and write its JSON to out_path."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
+
+    from vectorx_tpu.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()   # host-keyed: a retry attempt reuses compiles
 
     from vectorx_tpu.field import goldilocks as gl
     from vectorx_tpu.hash import poseidon
     from vectorx_tpu.hash.blake2b import blake2b_batch
     from vectorx_tpu.ntt import ntt
 
+    def _timed(f, *args, iters=7):
+        """Min-of-N timing: the remote tunnel adds noisy per-call latency,
+        so the minimum is the reliable estimator of the compute cost."""
+        s = int(f(*args))  # warm + compile + sync
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s = int(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best, s
+
     rng = np.random.default_rng(0)
-    extras = {}
+    extras = {"platform": platform}
 
     # --- NTT throughput (north-star metric #1) -----------------------------
-    B, log_n = 64, 16
+    big = platform == "tpu"
+    B, log_n = (64, 16) if big else (8, 14)
     n = 1 << log_n
     poly = rng.integers(0, gl.P, size=(B, n), dtype=np.uint64)
     pl_, ph_ = gl.from_u64(poly)
@@ -68,7 +88,7 @@ def main():
     extras["dispatch_overhead_ms"] = round(t1 * 1e3 - ntt_ms, 1)
 
     # --- Poseidon permutation throughput -----------------------------------
-    H = 1 << 16
+    H = 1 << (16 if big else 13)
     st = rng.integers(0, gl.P, size=(H, 12), dtype=np.uint64)
     sl, sh = gl.from_u64(st)
 
@@ -85,7 +105,7 @@ def main():
     extras["poseidon_permutations_per_s"] = round(H / (perm_ms / 1e3))
 
     # --- Blake2b header hashing (2 KB headers, end-to-end incl. transfer) --
-    HB, L = 2048, 2048
+    HB, L = (2048, 2048) if big else (256, 2048)
     msgs = rng.integers(0, 256, size=(HB, L), dtype=np.uint8)
     lens = np.full(HB, L, dtype=np.uint32)
     blake2b_batch(msgs, lens)  # warm
@@ -95,13 +115,137 @@ def main():
     extras["blake2b_2kb_headers_per_s"] = round(HB / dt)
     extras["device"] = str(jax.devices()[0])
 
-    print(json.dumps({
-        "metric": "goldilocks_ntt",
-        "value": round(ntt_gelems, 4),
-        "unit": "Gelem/s",
-        "vs_baseline": round(ntt_gelems / 1.0, 4),
-        "extras": extras,
-    }))
+    def _write():
+        with open(out_path + ".tmp", "w") as f:
+            json.dump({
+                "metric": "goldilocks_ntt",
+                "value": round(ntt_gelems, 4),
+                "unit": "Gelem/s",
+                "vs_baseline": round(ntt_gelems / 1.0, 4),
+                "extras": extras,
+            }, f)
+        os.replace(out_path + ".tmp", out_path)
+
+    _write()   # base record is durable before the slow AIR section
+
+    # --- STARK AIR prove throughput (round-3: the jitted composition path;
+    # round-2 evidence rate to beat: Blake2b max-header 7001 rows / 4194 s
+    # CPU = 1.7 rows/s, and TPU air_bench proves in the same decade) -------
+    try:
+        from vectorx_tpu.fri.fri import FriConfig
+        from vectorx_tpu.stark.blake2b_air import SECTION as B2S
+        from vectorx_tpu.stark.blake2b_air import Blake2bAir
+        from vectorx_tpu.stark.prover import StarkConfig
+        from vectorx_tpu.stark.prover import prove as stark_prove
+        from vectorx_tpu.stark.verifier import verify as stark_verify
+
+        cfgp = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=1,
+                                         num_queries=8, final_poly_len=4,
+                                         pow_bits=8))
+        hdr = bytes(rng.integers(0, 256, size=2048 if big else 144,
+                                 dtype=np.uint8).tolist())
+        pair_air = Blake2bAir([hdr])
+        tr = pair_air.build_trace()
+        t0 = time.perf_counter()
+        pr = stark_prove(pair_air, tr, cfgp)
+        prove_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        okv = stark_verify(pair_air, pr, cfgp)
+        verify_s = time.perf_counter() - t0
+        assert okv
+        rows_per_s = pair_air.n / prove_s
+        extras["blake2b_air_rows"] = pair_air.n
+        extras["blake2b_air_prove_s"] = round(prove_s, 1)
+        extras["blake2b_air_verify_s"] = round(verify_s, 1)
+        extras["air_prove_rows_per_s"] = round(rows_per_s, 1)
+        extras["air_fri"] = "q8/pow8/rate8"
+        # header_range_256 estimate from measured component rows (BASELINE
+        # metric, children only — the aggregation machine proof is extra;
+        # see evidence/succinct_header_range.json for the composed artifact)
+        hdr_rows = 256 * (B2S * 16 + 1)            # 256 × 2 KB headers
+        tree_rows = 2 * 255 * (65 * 2 + 1)         # 2 trees × 255 SHA nodes
+        commit_rows = 300 * (65 * 2 + 1)           # authority-set chain
+        sig_rows = 300 * (1016 + 81 * 2 + 1)       # ladder + SHA-512 msgs
+        total_rows = hdr_rows + tree_rows + commit_rows + sig_rows
+        est_s = total_rows / rows_per_s
+        extras["header_range_256_component_rows"] = total_rows
+        extras["header_range_256_proofs_per_hr_est"] = round(3600 / est_s, 3)
+        _write()
+    except Exception as e:  # noqa: BLE001 — AIR section is best-effort
+        extras["air_bench_error"] = f"{type(e).__name__}: {e}"
+        _write()
+
+
+def _partial(out_path: str, diag: str):
+    """A failed attempt may still have checkpointed a usable record."""
+    try:
+        if os.path.getsize(out_path) > 0:
+            with open(out_path) as f:
+                rec = json.load(f)
+            rec["extras"]["partial"] = diag
+            return rec, None
+    except (OSError, ValueError):
+        pass
+    return None, diag
+
+
+def _attempt(platform: str, timeout_s: int):
+    """Run the benchmark body in a subprocess.  Returns (record|None, diag)."""
+    env = dict(os.environ)
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""   # skip the exclusive TPU claim
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--body",
+             out_path, platform],
+            env=env, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode == 0 and os.path.getsize(out_path) > 0:
+            with open(out_path) as f:
+                return json.load(f), None
+        tail = proc.stderr.decode(errors="replace")[-800:]
+        return _partial(out_path, f"rc={proc.returncode}: {tail}")
+    except subprocess.TimeoutExpired:
+        # the body checkpoints its record before slow sections: a timeout
+        # mid-AIR-bench still yields the headline metric, marked partial
+        return _partial(out_path, f"timeout after {timeout_s}s "
+                                  "(backend hang?)")
+    except Exception as e:  # noqa: BLE001 — diagnostics, never a crash
+        return None, f"{type(e).__name__}: {e}"
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--body":
+        _run_body(sys.argv[2], sys.argv[3])
+        return
+
+    diags = []
+    record = None
+    for attempt in range(TPU_ATTEMPTS):
+        record, diag = _attempt("tpu", TPU_TIMEOUT_S)
+        if record is not None:
+            break
+        diags.append(f"tpu attempt {attempt + 1}: {diag}")
+        time.sleep(RETRY_BACKOFF_S)
+    if record is None:
+        record, diag = _attempt("cpu", CPU_TIMEOUT_S)
+        if record is not None:
+            record["extras"]["degraded"] = True
+            record["extras"]["tpu_diagnostics"] = diags
+        else:
+            diags.append(f"cpu: {diag}")
+            record = {"metric": "goldilocks_ntt", "value": 0.0,
+                      "unit": "Gelem/s", "vs_baseline": 0.0,
+                      "extras": {"degraded": True, "error": diags}}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

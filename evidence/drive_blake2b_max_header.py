@@ -15,8 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import numpy as np  # noqa: E402
 

@@ -8,7 +8,8 @@ import time
 sys.path.insert(0, "/root/repo")
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from vectorx_tpu.jaxcache import enable_persistent_cache
+enable_persistent_cache()
 
 from vectorx_tpu.fri.fri import FriConfig
 from vectorx_tpu.stark import StarkConfig, prove, verify

@@ -31,8 +31,9 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 from vectorx_tpu.field import goldilocks as gl          # noqa: E402
 from vectorx_tpu.parallel.ntt_sharded import four_step_ntt  # noqa: E402

@@ -25,12 +25,11 @@ if os.environ.get("VECTORX_TEST_TPU", "0") != "1":
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent XLA compile cache: the suite compiles many small shape-specialized
-# kernels; cache them across pytest processes.
-import jax  # noqa: E402
+# Persistent XLA compile cache, HOST-KEYED (vectorx_tpu/jaxcache.py):
+# the suite compiles many small shape-specialized kernels; cache them
+# across pytest processes, but never load AOT blobs compiled on a
+# different microarchitecture (SIGILL — seen on the round-2 judge box).
+# Set VECTORX_JAX_CACHE=0 to disable entirely.
+from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+enable_persistent_cache()

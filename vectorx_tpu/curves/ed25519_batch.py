@@ -23,6 +23,7 @@ Field arithmetic: GF(2^255 − 19) as 16 × 16-bit limbs in uint32 lanes
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import secrets
 
@@ -299,8 +300,28 @@ def batch_verify(pubkeys: list[bytes], msgs: list[bytes],
     py = from_ints([p[1] for p in points])
     pz = from_ints([p[2] for p in points])
     pt = from_ints([p[3] for p in points])
-    result = _verify_kernel(jnp.asarray(bits), (px, py, pz, pt))
+    with _no_persistent_cache():
+        result = _verify_kernel(jnp.asarray(bits), (px, py, pz, pt))
     return bool(jax.device_get(result))
+
+
+@contextlib.contextmanager
+def _no_persistent_cache():
+    """Compile this module's big ladder kernel with JAX's persistent
+    compilation cache OFF: serializing the compiled blob has segfaulted
+    inside the cache's native (zstd) path on XLA:CPU for exactly this
+    kernel — observed on the round-2 judge box and reproduced locally.
+    The in-memory jit cache still applies; only the disk layer is skipped."""
+    try:
+        old = jax.config.jax_enable_compilation_cache
+    except AttributeError:        # flag absent in this jax version
+        yield
+        return
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)
 
 
 @jax.jit
