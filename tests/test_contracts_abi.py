@@ -111,6 +111,42 @@ def test_sources_are_structurally_sound():
         assert "pragma solidity" in src, f"missing pragma: {path}"
 
 
+def test_packed_io_binds_io_abi_to_sol_source():
+    """Bind io/abi.py's packed layouts to the contract source: the
+    `abi.encodePacked(...)` argument lists in VectorX.sol must encode
+    exactly the fields, order, and widths of HeaderRangeInput /
+    RotateInput (reference packing: /root/reference/bin/vectorx.rs:24-26
+    consumed at circuits/header_range.rs:32-36)."""
+    from vectorx_tpu.io.abi import (HeaderRangeInput, HeaderRangeOutput,
+                                    RotateInput, RotateOutput)
+
+    src = _strip(open(SRC).read())
+    # widths of every identifier that appears in a packed input
+    widths = {"latestBlock": 4, "trustedHeader": 32, "_authoritySetId": 8,
+              "authoritySetHash": 32, "_requestedBlock": 4,
+              "_targetBlock": 4, "_currentAuthoritySetId": 8,
+              "currentHash": 32}
+    packs = [re.findall(r"\w+", m.group(1))
+             for m in re.finditer(r"abi\.encodePacked\(([^)]*)\)", src)]
+    header_range_packs = [p for p in packs if len(p) == 5]
+    rotate_packs = [p for p in packs if len(p) == 2]
+    assert len(header_range_packs) == 2     # request + commit
+    assert len(rotate_packs) == 2           # request + rotate
+    for p in header_range_packs:
+        assert [widths[x] for x in p] == [4, 32, 8, 32, 4]
+    for p in rotate_packs:
+        assert [widths[x] for x in p] == [8, 32]
+    # the Python encoders must produce exactly those byte widths
+    hr = HeaderRangeInput(1, b"\x01" * 32, 2, b"\x02" * 32, 3).encode()
+    assert len(hr) == 4 + 32 + 8 + 32 + 4 == 80
+    assert hr[0:4] == (1).to_bytes(4, "big")          # latestBlock
+    assert hr[36:44] == (2).to_bytes(8, "big")        # authoritySetId
+    assert len(HeaderRangeOutput(b"\x00" * 32, b"\x00" * 32,
+                                 b"\x00" * 32).encode()) == 96
+    assert len(RotateInput(7, b"\x07" * 32).encode()) == 40
+    assert len(RotateOutput(b"\x08" * 32).encode()) == 32
+
+
 def test_divergences_are_documented():
     """The proxy/timelock divergence from the reference deploy
     (/root/reference/contracts/script/Deploy.s.sol:12-81) must stay

@@ -69,6 +69,19 @@ def test_operator_advances_contract_through_epochs():
         CHAIN.get_block_hash(40)
 
 
+def test_blocks_behind_head_health_signal():
+    """The reference's external monitoring watches blocksBehindHead
+    (/root/reference/README.md:121-133); the operator now reports it."""
+    gw, contract, op = make_system()
+    head = CHAIN.get_head().block_number
+    before = op.blocks_behind_head()
+    assert before == head - contract.latest_block > 0
+    res = op.run_once()
+    drain(gw)
+    assert res["blocks_behind_head"] == before  # measured pre-fulfill
+    assert op.blocks_behind_head() < before     # catching up
+
+
 def test_commitments_match_fetcher():
     gw, contract, op = make_system()
     op.run_once()

@@ -76,12 +76,40 @@ class MemoryBackend:
 
 
 class RespBackend:
-    """Minimal RESP2 client: SET / GET / ZADD / ZRANGEBYSCORE."""
+    """Minimal RESP2 client: SET / GET / ZADD / ZRANGEBYSCORE.
+
+    Reconnects with the reference's retry discipline — 3 attempts with a
+    delay between them (/root/reference/circuits/input/mod.rs:60-78) —
+    on a dropped connection, replaying the failed command once the new
+    connection is up."""
+
+    RECONNECT_ATTEMPTS = 3
+    RECONNECT_DELAY_S = 5.0
 
     def __init__(self, host: str = "127.0.0.1", port: int = 6379,
                  timeout: float = 5.0):
-        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.host, self.port, self.timeout = host, port, timeout
+        self.sock = None
         self.buf = b""
+        self._connect()
+
+    def _connect(self):
+        last = None
+        for attempt in range(self.RECONNECT_ATTEMPTS):
+            try:
+                self.sock = socket.create_connection(
+                    (self.host, self.port), timeout=self.timeout)
+                self.buf = b""
+                return
+            except OSError as e:
+                last = e
+                if attempt + 1 < self.RECONNECT_ATTEMPTS:
+                    import time
+
+                    time.sleep(self.RECONNECT_DELAY_S)
+        raise ConnectionError(
+            f"redis connect failed after {self.RECONNECT_ATTEMPTS} "
+            f"attempts: {last}")
 
     def _cmd(self, *parts):
         msg = f"*{len(parts)}\r\n".encode()
@@ -89,8 +117,14 @@ class RespBackend:
             if isinstance(p, str):
                 p = p.encode()
             msg += f"${len(p)}\r\n".encode() + p + b"\r\n"
-        self.sock.sendall(msg)
-        return self._read_reply()
+        try:
+            self.sock.sendall(msg)
+            return self._read_reply()
+        except (OSError, ConnectionError):
+            # dropped mid-command: reconnect (3 attempts) and replay once
+            self._connect()
+            self.sock.sendall(msg)
+            return self._read_reply()
 
     def _read_line(self) -> bytes:
         while b"\r\n" not in self.buf:
@@ -103,7 +137,10 @@ class RespBackend:
 
     def _read_exact(self, n: int) -> bytes:
         while len(self.buf) < n + 2:
-            self.buf += self.sock.recv(4096)
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("redis connection closed")
+            self.buf += chunk
         data, self.buf = self.buf[:n], self.buf[n + 2:]
         return data
 

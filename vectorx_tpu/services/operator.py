@@ -117,12 +117,25 @@ class VectorXOperator:
         except Exception:
             return False
 
+    # ---- health / observability -------------------------------------------
+
+    def blocks_behind_head(self) -> int:
+        """How far the contract's latestBlock lags the chain's finalized
+        head — the external health signal the reference documents for its
+        monitoring endpoint (/root/reference/README.md:121-133)."""
+        head = self.fetcher.get_head().block_number
+        return max(0, head - self.contract.latest_block)
+
     # ---- loop (vectorx.rs:461-491) ----------------------------------------
 
     def run_once(self) -> dict:
         rotated = self.find_and_request_rotate()
         ranged = self.find_and_request_header_range()
-        return {"rotate_requested": rotated, "header_range_requested": ranged}
+        behind = self.blocks_behind_head()
+        log.info("health: blocksBehindHead=%d latestBlock=%d",
+                 behind, self.contract.latest_block)
+        return {"rotate_requested": rotated, "header_range_requested": ranged,
+                "blocks_behind_head": behind}
 
     def run(self, iterations: int | None = None, sleep_fn=None) -> None:
         import time
