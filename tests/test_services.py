@@ -177,3 +177,68 @@ def test_genesis_display():
     text = g.display()
     assert "GENESIS_HEIGHT=10" in text
     assert g.header_hash == CHAIN.get_block_hash(10)
+
+
+def test_succinct_gateway_wiring(monkeypatch):
+    """zk="succinct" routes BOTH functions through the succinct pipeline
+    and the gateway verifies before the callback (the verifiedCall trust
+    boundary).  The proving itself is monkeypatched (full machine proves
+    are slow-gated; see test_succinct_*_full_roundtrip) — this pins the
+    WIRING: prover outputs flow, verifier rejection reverts."""
+    from dataclasses import dataclass
+
+    import vectorx_tpu.circuits.succinct_header_range as shr
+    import vectorx_tpu.circuits.succinct_rotate as srt
+    from vectorx_tpu.circuits import DummyHeaderRange, DummyRotate
+    from vectorx_tpu.services.contract import ContractError
+
+    @dataclass
+    class FakeProof:
+        input_bytes: bytes
+        output_bytes: bytes
+        magic: int = 1234
+
+    calls = {"hr_v": 0, "rt_v": 0}
+
+    monkeypatch.setattr(
+        shr, "prove_header_range_succinct",
+        lambda fetcher, inp, tree_size, config: FakeProof(
+            inp, DummyHeaderRange(tree_size).run(inp, CHAIN)))
+    monkeypatch.setattr(
+        shr, "verify_header_range_succinct",
+        lambda p, config: (calls.__setitem__("hr_v", calls["hr_v"] + 1),
+                           p.magic == 1234)[1])
+    monkeypatch.setattr(
+        srt, "prove_rotate_succinct",
+        lambda fetcher, inp, max_authorities, config: FakeProof(
+            inp, DummyRotate().run(inp, CHAIN)))
+    monkeypatch.setattr(
+        srt, "verify_rotate_succinct",
+        lambda p, max_authorities, config: (
+            calls.__setitem__("rt_v", calls["rt_v"] + 1), True)[1])
+
+    gw = make_gateway(CHAIN, max_authority_set_size=8, max_num_headers=16,
+                      zk="succinct")
+    g = compute_genesis(CHAIN, 4)
+    contract = VectorXContract(
+        gw, g.height, g.header_hash, g.authority_set_id,
+        g.authority_set_hash, header_range_commitment_tree_size=16)
+    op = VectorXOperator(contract, CHAIN,
+                         OperatorConfig(update_delay_blocks=10))
+    op.run_once()
+    drain(gw)
+    assert contract.latest_block > 4
+    assert calls["hr_v"] >= 1            # gateway verified before callback
+    # a rejecting verifier must revert the fulfillment
+    monkeypatch.setattr(shr, "verify_header_range_succinct",
+                        lambda p, config: False)
+    gw2 = make_gateway(CHAIN, max_authority_set_size=8, max_num_headers=16,
+                       zk="succinct")
+    contract2 = VectorXContract(
+        gw2, g.height, g.header_hash, g.authority_set_id,
+        g.authority_set_hash, header_range_commitment_tree_size=16)
+    VectorXOperator(contract2, CHAIN,
+                    OperatorConfig(update_delay_blocks=10)).run_once()
+    with pytest.raises(ContractError, match="GatewayProofRejected"):
+        drain(gw2)
+    assert contract2.latest_block == g.height     # no state change

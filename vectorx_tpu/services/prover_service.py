@@ -28,7 +28,12 @@ def make_gateway(fetcher, max_authority_set_size: int = 300,
     reference's `verifiedCall` trust boundary
     (/root/reference/contracts/src/VectorX.sol:259-262).  Tampering the
     prover output makes the fulfillment revert (exercised by the system
-    tests).  Rotate stays recomputation-checked pending its ZK variant."""
+    tests).
+
+    With `zk="succinct"` BOTH functions run the round-3 product pipeline:
+    ONE machine proof each, hidden header bytes, in-ZK signatures — the
+    gateway verifier sees only (input, output, proof)
+    (circuits/succinct_header_range.py, circuits/succinct_rotate.py)."""
     gw = MockGateway()
     if dummy:
         from vectorx_tpu.circuits import DummyHeaderRange, DummyRotate
@@ -42,6 +47,43 @@ def make_gateway(fetcher, max_authority_set_size: int = 300,
             max_num_headers=max_num_headers)
         rt = RotateCircuit(max_authority_set_size=max_authority_set_size,
                            max_header_size=max_header_size)
+    if zk == "succinct":
+        from vectorx_tpu.circuits.succinct_header_range import (
+            prove_header_range_succinct, verify_header_range_succinct)
+        from vectorx_tpu.circuits.succinct_rotate import (
+            prove_rotate_succinct, verify_rotate_succinct)
+        from vectorx_tpu.stark.prover import StarkConfig
+
+        cfg = stark_config or StarkConfig()
+
+        def shr_prove(inp):
+            p = prove_header_range_succinct(fetcher, inp,
+                                            tree_size=max_num_headers,
+                                            config=cfg)
+            return p.output_bytes, p
+
+        def shr_verify(inp, output, p) -> bool:
+            if p is None or getattr(p, "input_bytes", None) != inp or \
+                    getattr(p, "output_bytes", None) != output:
+                return False
+            return verify_header_range_succinct(p, config=cfg)
+
+        def srt_prove(inp):
+            p = prove_rotate_succinct(
+                fetcher, inp, max_authorities=max_authority_set_size,
+                config=cfg)
+            return p.output_bytes, p
+
+        def srt_verify(inp, output, p) -> bool:
+            if p is None or getattr(p, "input_bytes", None) != inp or \
+                    getattr(p, "output_bytes", None) != output:
+                return False
+            return verify_rotate_succinct(
+                p, max_authorities=max_authority_set_size, config=cfg)
+
+        gw.register_prover(header_range_function_id, shr_prove, shr_verify)
+        gw.register_prover(rotate_function_id, srt_prove, srt_verify)
+        return gw
     if zk:
         from vectorx_tpu.circuits.zk_header_range import (
             prove_header_range_zk, verify_header_range_zk)
