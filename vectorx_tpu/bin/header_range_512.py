@@ -12,5 +12,13 @@ def _make(config):
         max_num_headers=512)
 
 
+def _succinct(fetcher, input_bytes, config):
+    from vectorx_tpu.circuits.succinct_header_range import \
+        prove_header_range_succinct
+
+    return prove_header_range_succinct(fetcher, input_bytes, tree_size=512)
+
+
 if __name__ == "__main__":
-    run_entrypoint("header_range_512", _make, "req_bytes")
+    run_entrypoint("header_range_512", _make, "req_bytes",
+                   succinct_prover=_succinct)
