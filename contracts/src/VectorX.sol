@@ -3,6 +3,7 @@ pragma solidity ^0.8.25;
 
 import {IVectorX} from "./interfaces/IVectorX.sol";
 import {ISuccinctGateway} from "./interfaces/ISuccinctGateway.sol";
+import {TimelockedUpgradeable} from "./upgrades/TimelockedUpgradeable.sol";
 
 /// @notice Avail light client: tracks GRANDPA consensus heads and Vector
 ///         data/state-root commitments.
@@ -11,13 +12,11 @@ import {ISuccinctGateway} from "./interfaces/ISuccinctGateway.sol";
 ///      and proof I/O encoding as the reference deployment
 ///      (reference contracts/src/VectorX.sol:13-371), verified against the
 ///      Python contract model in vectorx_tpu/services/contract.py which the
-///      hermetic system tests execute.  Upgradeability is plain
-///      guardian-gated UUPS-style ownership rather than the reference's
-///      TimelockedUpgradeable dependency; swap in a timelock for production.
-contract VectorX is IVectorX {
-    /// @notice Guardian with permission for administrative operations.
-    address public guardian;
-
+///      hermetic system tests execute.  Deployed behind an ERC1967Proxy
+///      with timelock-gated upgrades (upgrades/TimelockedUpgradeable.sol),
+///      matching the reference's proxy deployment; new storage variables
+///      must only ever be appended to avoid corrupting proxied state.
+contract VectorX is IVectorX, TimelockedUpgradeable {
     /// @notice Circuit breaker (guardian-controlled).
     bool public frozen;
 
@@ -36,9 +35,6 @@ contract VectorX is IVectorX {
     /// @notice Function id of the rotate circuit.
     bytes32 public rotateFunctionId;
 
-    /// @notice Number of leaves in each header-range commitment tree.
-    uint32 public headerRangeCommitmentTreeSize;
-
     /// @notice block height => header hash.
     mapping(uint32 => bytes32) public blockHeightToHeaderHash;
 
@@ -54,12 +50,8 @@ contract VectorX is IVectorX {
     /// @notice range key => start block of that range.
     mapping(bytes32 => uint32) public rangeStartBlocks;
 
-    error OnlyGuardian();
-
-    modifier onlyGuardian() {
-        if (msg.sender != guardian) revert OnlyGuardian();
-        _;
-    }
+    /// @notice Number of leaves in each header-range commitment tree.
+    uint32 public headerRangeCommitmentTreeSize;
 
     struct InitParameters {
         address guardian;
@@ -73,8 +65,14 @@ contract VectorX is IVectorX {
         uint32 headerRangeCommitmentTreeSize;
     }
 
-    constructor(InitParameters memory p) {
-        guardian = p.guardian;
+    function VERSION() external pure returns (string memory) {
+        return "1.0.0";
+    }
+
+    /// @notice Initialize proxied state (reference VectorX.sol:71-84); the
+    ///         guardian also receives the TIMELOCK_ROLE, as the reference
+    ///         does — hand it to a Timelock controller for production.
+    function initialize(InitParameters calldata p) external initializer {
         gateway = p.gateway;
         blockHeightToHeaderHash[p.height] = p.header;
         latestBlock = p.height;
@@ -83,6 +81,7 @@ contract VectorX is IVectorX {
         headerRangeFunctionId = p.headerRangeFunctionId;
         rotateFunctionId = p.rotateFunctionId;
         headerRangeCommitmentTreeSize = p.headerRangeCommitmentTreeSize;
+        __TimelockedUpgradeable_init(p.guardian, p.guardian);
     }
 
     // ------------------------------------------------------------------ //

@@ -105,10 +105,55 @@ def test_event_topics_are_canonical():
 
 
 def test_sources_are_structurally_sound():
-    for path in (SRC, IFACE, "contracts/script/Deploy.s.sol"):
+    for path in (SRC, IFACE, "contracts/script/Deploy.s.sol",
+                 "contracts/src/upgrades/TimelockedUpgradeable.sol",
+                 "contracts/src/upgrades/ERC1967Proxy.sol",
+                 "contracts/src/upgrades/Timelock.sol"):
         src = _strip(open(path).read())
         assert src.count("{") == src.count("}"), f"unbalanced braces: {path}"
         assert "pragma solidity" in src, f"missing pragma: {path}"
+
+
+def test_upgrade_surface_matches_reference():
+    """Proxy/timelock parity (reference VectorX.sol:5,13,83 is
+    TimelockedUpgradeable behind an ERC1967Proxy, deployed by
+    Deploy.s.sol:12-81): VectorX must expose the upgradeable surface, the
+    deploy script must go through the proxy, and the ERC-1967
+    implementation slot constant must be the canonical value."""
+    src = _strip(open(SRC).read())
+    funcs = _signatures(r"function", src)
+    assert "upgradeTo(address)" not in funcs  # inherited, not redeclared
+    assert "initialize" in src and "initializer" in src
+    assert "__TimelockedUpgradeable_init" in src
+    assert "VERSION()" in {f.split("(")[0] + "()" for f in funcs}
+
+    base = _strip(open("contracts/src/upgrades/TimelockedUpgradeable.sol")
+                  .read())
+    base_funcs = _signatures(r"function", base)
+    for sig in ("upgradeTo(address)", "grantRole(bytes32,address)",
+                "revokeRole(bytes32,address)", "hasRole(bytes32,address)",
+                "getImplementation()"):
+        assert sig in base_funcs, f"upgrade surface missing {sig}"
+
+    # canonical ERC-1967 slot: keccak256("eip1967.proxy.implementation")-1
+    want = (int.from_bytes(keccak256(b"eip1967.proxy.implementation"),
+                           "big") - 1)
+    slot_hex = f"0x{want:064x}"
+    assert slot_hex in base
+    assert slot_hex in _strip(
+        open("contracts/src/upgrades/ERC1967Proxy.sol").read())
+
+    deploy = _strip(open("contracts/script/Deploy.s.sol").read())
+    assert "ERC1967Proxy" in deploy and "initialize" in deploy
+    assert "upgradeTo" in deploy and "CREATE2_SALT" in deploy
+
+    # Timelock controller: delay-gated schedule/execute, cancel
+    tl = _strip(open("contracts/src/upgrades/Timelock.sol").read())
+    tl_funcs = _signatures(r"function", tl)
+    assert "schedule(address,uint256,bytes,bytes32)" in tl_funcs
+    assert "execute(address,uint256,bytes,bytes32)" in tl_funcs
+    assert "cancel(bytes32)" in tl_funcs
+    assert "minDelay" in tl
 
 
 def test_packed_io_binds_io_abi_to_sol_source():
