@@ -29,7 +29,9 @@ import tempfile
 import time
 
 TPU_ATTEMPTS = 2
-TPU_TIMEOUT_S = 900          # first compile can take minutes on the tunnel
+TPU_TIMEOUT_S = 1800         # first compile can take minutes on the tunnel;
+                             # the record is checkpointed section-by-section,
+                             # so a timeout still yields every finished metric
 CPU_TIMEOUT_S = 900
 RETRY_BACKOFF_S = 30
 
@@ -173,6 +175,37 @@ def _run_body(out_path: str, platform: str) -> None:
         _write()
     except Exception as e:  # noqa: BLE001 — AIR section is best-effort
         extras["air_bench_error"] = f"{type(e).__name__}: {e}"
+        _write()
+
+    # --- verifier-VM machine AIR throughput (the aggregation layer) -------
+    # One machine trace proves a full child STARK verification
+    # (recursion/machine.py).  Rows/s here bounds how fast component
+    # proofs can be folded into the ONE succinct artifact.
+    try:
+        from vectorx_tpu.recursion.machine import MachineAir, compile_tape
+        from vectorx_tpu.recursion.shadow import verifier_tape
+        from vectorx_tpu.recursion.ssa import Builder
+        from vectorx_tpu.stark import FibonacciAir
+
+        child = FibonacciAir(log_n=6)
+        child_pr = stark_prove(child, child.build_trace(), cfgp)
+        b = Builder(witness=True)
+        verifier_tape(b, child, cfgp, proof=child_pr)
+        mair = MachineAir(compile_tape(b))
+        mtr = mair.build_trace()
+        t0 = time.perf_counter()
+        mpr = stark_prove(mair, mtr, cfgp)
+        m_prove_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        assert stark_verify(mair, mpr, cfgp)
+        m_verify_s = time.perf_counter() - t0
+        extras["machine_air_rows"] = mair.n
+        extras["machine_air_prove_s"] = round(m_prove_s, 1)
+        extras["machine_air_verify_s"] = round(m_verify_s, 1)
+        extras["machine_air_rows_per_s"] = round(mair.n / m_prove_s, 1)
+        _write()
+    except Exception as e:  # noqa: BLE001 — best-effort
+        extras["machine_bench_error"] = f"{type(e).__name__}: {e}"
         _write()
 
 
