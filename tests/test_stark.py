@@ -46,3 +46,18 @@ def test_rejects_tampered_opening():
     a, b = proof.trace_at_zeta[0]
     proof.trace_at_zeta[0] = ((a + 1) % gl.P, b)
     assert not verify(air, proof, CFG)
+
+
+def test_chunked_lde_bit_exact(monkeypatch):
+    """Row-chunked LDE (the wide-trace HBM bound) is bit-identical to the
+    full-width transform: same caps, same openings, verifies."""
+    from vectorx_tpu.stark import prover as prover_mod
+
+    air = FibonacciAir(log_n=4)
+    full = prove(air, air.build_trace(), CFG)
+    monkeypatch.setattr(prover_mod, "LDE_CHUNK_ELEMS", 1 << 7)
+    chunked = prove(air, air.build_trace(), CFG)
+    assert full.trace_cap == chunked.trace_cap
+    assert full.quotient_cap == chunked.quotient_cap
+    assert full.trace_at_zeta == chunked.trace_at_zeta
+    assert verify(air, chunked, CFG)

@@ -73,6 +73,43 @@ class StarkProof:
     aux_openings: list = field(default_factory=list)
 
 
+# Peak-HBM knob for wide-trace LDEs: transforms over a (rows, N) limb
+# array run in row blocks of ~2^LDE_CHUNK_ELEMS elements, so butterfly
+# temporaries stay bounded no matter how wide the AIR is (the machine
+# verifier-VM at production FRI security reaches 50 constant columns ×
+# multi-million-point domains — an unchunked transform OOMs a v5e chip).
+LDE_CHUNK_ELEMS = 1 << 26
+
+
+def _rows_chunked(fn, lo, hi, out_cols: int):
+    """Apply `fn(lo_block, hi_block) -> (lo', hi')` over row blocks sized
+    so block_rows · out_cols ≤ LDE_CHUNK_ELEMS.  Bit-identical to one
+    full-width call — the transform is independent per row."""
+    rows = lo.shape[0]
+    block = max(1, LDE_CHUNK_ELEMS // max(1, out_cols))
+    if rows <= block:
+        return fn(lo, hi)
+    outs = [fn(lo[s:s + block], hi[s:s + block])
+            for s in range(0, rows, block)]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
+
+
+def _intt_rows(lo, hi):
+    return _rows_chunked(intt, lo, hi, lo.shape[-1])
+
+
+def _coset_lde_rows(cl, ch, N: int):
+    """coeffs (rows, n) -> coset evaluations (rows, N), row-chunked."""
+    n = cl.shape[-1]
+
+    def one(a, b):
+        pad = ((0, 0), (0, N - n))
+        return coset_ntt(jnp.pad(a, pad), jnp.pad(b, pad))
+
+    return _rows_chunked(one, cl, ch, N)
+
+
 def preprocess(air: Air, config: "StarkConfig"):
     """Build the preprocessed-columns commitment (the AIR's "verification
     key").  Deterministic; prover and verifier both derive it.  Returns
@@ -83,9 +120,8 @@ def preprocess(air: Air, config: "StarkConfig"):
     n = air.n
     N = n << config.rate_bits
     cl, ch = gl.from_u64(consts)
-    kl, kh = intt(cl, ch)
-    pad = ((0, 0), (0, N - n))
-    ll, lh = coset_ntt(jnp.pad(kl, pad), jnp.pad(kh, pad))
+    kl, kh = _intt_rows(cl, ch)
+    ll, lh = _coset_lde_rows(kl, kh, N)
     tree = merkle.build_tree(ll.T, lh.T, cap_height=config.fri.cap_height)
     return tree, (ll, lh), (kl, kh)
 
@@ -476,10 +512,9 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
     if trace_sharding is not None:
         tl = jax.device_put(tl, trace_sharding)
         th = jax.device_put(th, trace_sharding)
-    coeff_l, coeff_h = intt(tl, th)                  # keep coefficients
+    coeff_l, coeff_h = _intt_rows(tl, th)            # keep coefficients
     pad = ((0, 0), (0, N - n))
-    tr_lde_l, tr_lde_h = coset_ntt(jnp.pad(coeff_l, pad),
-                                   jnp.pad(coeff_h, pad))   # (W, N)
+    tr_lde_l, tr_lde_h = _coset_lde_rows(coeff_l, coeff_h, N)   # (W, N)
     trace_tree = merkle.build_tree(tr_lde_l.T, tr_lde_h.T, cap_height=cap_h)
     challenger.observe_cap(trace_tree.cap_ints())
 
@@ -507,9 +542,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
                                        deltas))
         aux_u64 = np.concatenate(parts, axis=0)
         axl, axh = gl.from_u64(aux_u64)
-        aux_coeff = intt(axl, axh)
-        aux_lde = coset_ntt(jnp.pad(aux_coeff[0], pad),
-                            jnp.pad(aux_coeff[1], pad))
+        aux_coeff = _intt_rows(axl, axh)
+        aux_lde = _coset_lde_rows(aux_coeff[0], aux_coeff[1], N)
         aux_tree = merkle.build_tree(aux_lde[0].T, aux_lde[1].T,
                                      cap_height=cap_h)
         challenger.observe_cap(aux_tree.cap_ints())
