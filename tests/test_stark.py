@@ -61,3 +61,22 @@ def test_chunked_lde_bit_exact(monkeypatch):
     assert full.quotient_cap == chunked.quotient_cap
     assert full.trace_at_zeta == chunked.trace_at_zeta
     assert verify(air, chunked, CFG)
+
+
+def test_streamed_prover_bit_exact():
+    """The coset-streamed prover (wide-AIR memory path) emits bit-identical
+    proofs: same caps, same openings, same FRI transcript."""
+    from vectorx_tpu.stark.prover import prove_streamed
+
+    air = FibonacciAir(log_n=4)
+    full = prove(air, air.build_trace(), CFG)
+    streamed = prove_streamed(air, air.build_trace(), CFG)
+    assert full.trace_cap == streamed.trace_cap
+    assert full.quotient_cap == streamed.quotient_cap
+    assert full.trace_at_zeta == streamed.trace_at_zeta
+    assert full.quotient_at_zeta == streamed.quotient_at_zeta
+    assert [o.leaf for o in full.trace_openings] == \
+        [o.leaf for o in streamed.trace_openings]
+    assert [o.path for o in full.quotient_openings] == \
+        [o.path for o in streamed.quotient_openings]
+    assert verify(air, streamed, CFG)

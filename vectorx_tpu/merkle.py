@@ -64,8 +64,17 @@ def hash_leaves(leaves_lo, leaves_hi):
 def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
     n = leaves_lo.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
-    assert (1 << cap_height) <= n
     lo, hi = hash_leaves(leaves_lo, leaves_hi)
+    return build_tree_from_digests(lo, hi, cap_height)
+
+
+def build_tree_from_digests(lo, hi, cap_height: int = 0) -> PoseidonMerkleTree:
+    """Internal layers from already-hashed (n, 4) leaf digests — the entry
+    point for streamed commitments, where leaves are hashed coset-by-coset
+    to bound peak memory and only their digests are interleaved."""
+    n = lo.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    assert (1 << cap_height) <= n
     device_layers = [(lo, hi)]
     while lo.shape[0] > (1 << cap_height):
         left = (lo[0::2], hi[0::2])

@@ -110,10 +110,74 @@ def _coset_lde_rows(cl, ch, N: int):
     return _rows_chunked(one, cl, ch, N)
 
 
+# Streamed-prover trigger: when the standing LDE matrices (trace + aux +
+# constants + quotient chunks, each over the blown-up domain) would exceed
+# this many limb elements (×8 bytes for the lo/hi uint32 pair), the prover
+# switches to the coset-streamed schedule: every full-domain quantity is
+# computed one stride-`blowup` coset at a time (1/blowup peak memory),
+# commitments are built from interleaved per-coset leaf digests, and the
+# proof bytes are BIT-IDENTICAL to the unstreamed path (regression-tested).
+# 2^29 limb pairs ≈ 4 GB standing — headroom for temporaries on a 16 GB v5e.
+STREAM_THRESHOLD_ELEMS = 1 << 29
+
+
+def _commit_cols(air: Air) -> int:
+    _, _, A = bus_aux_layout(air)
+    return (air.width + A + air.constant_columns().shape[0]
+            + 2 * _num_quotient_chunks(air))
+
+
+def _use_streaming(air: Air, config: "StarkConfig") -> bool:
+    import os
+
+    mode = os.environ.get("VECTORX_STREAM_PROVER", "auto")
+    if mode in ("1", "true"):
+        return True
+    if mode in ("0", "false"):
+        return False
+    N = air.n << config.rate_bits
+    return _commit_cols(air) * N > STREAM_THRESHOLD_ELEMS
+
+
+def _coset_shift(c: int, log_N: int) -> int:
+    """Shift of the c-th stride-`blowup` coset: LDE index j = blowup·t + c
+    is the point g·w_N^c·w_n^t."""
+    return (gl.GENERATOR * pow(_root_of_unity(log_N, inverse=False), c, P)) % P
+
+
+def _coset_evals(cl, ch, c: int, log_N: int):
+    """Evaluations of degree-<n rows on coset c, (rows, n)."""
+    s = _coset_shift(c, log_N)
+    return _rows_chunked(lambda a, b: coset_ntt(a, b, s), cl, ch,
+                         cl.shape[-1])
+
+
+def _interleave_cosets(parts):
+    """[(n,) per coset c=0..blowup-1] -> (N,) in LDE natural order."""
+    return jnp.stack(parts, axis=-1).reshape(-1)
+
+
+def _commit_streamed(cl, ch, log_N: int, cap_h: int):
+    """Merkle tree over the LDE leaves of coefficient rows (rows, n),
+    built one coset at a time: hash each coset's n leaves, interleave the
+    digests (leaf j = blowup·t + c ↔ coset c position t), build layers."""
+    blowup = (1 << log_N) // cl.shape[-1]
+    dls, dhs = [], []
+    for c in range(blowup):
+        el, eh = _coset_evals(cl, ch, c, log_N)
+        dl, dh = merkle.hash_leaves(el.T, eh.T)
+        dls.append(dl)
+        dhs.append(dh)
+    lo = jnp.stack(dls, axis=1).reshape(1 << log_N, -1)
+    hi = jnp.stack(dhs, axis=1).reshape(1 << log_N, -1)
+    return merkle.build_tree_from_digests(lo, hi, cap_height=cap_h)
+
+
 def preprocess(air: Air, config: "StarkConfig"):
     """Build the preprocessed-columns commitment (the AIR's "verification
     key").  Deterministic; prover and verifier both derive it.  Returns
-    (tree or None, lde (lo, hi) or None, coeff (lo, hi) or None)."""
+    (tree or None, lde (lo, hi) or None, coeff (lo, hi) or None); the lde
+    entry is None on the streamed path (callers recompute per coset)."""
     consts = air.constant_columns()
     if consts.shape[0] == 0:
         return None, None, None
@@ -121,6 +185,10 @@ def preprocess(air: Air, config: "StarkConfig"):
     N = n << config.rate_bits
     cl, ch = gl.from_u64(consts)
     kl, kh = _intt_rows(cl, ch)
+    if _use_streaming(air, config):
+        tree = _commit_streamed(kl, kh, air.log_n + config.rate_bits,
+                                config.fri.cap_height)
+        return tree, None, (kl, kh)
     ll, lh = _coset_lde_rows(kl, kh, N)
     tree = merkle.build_tree(ll.T, lh.T, cap_height=config.fri.cap_height)
     return tree, (ll, lh), (kl, kh)
@@ -207,17 +275,27 @@ def _domain_x(log_len: int, shift: int):
     return gl.mul(jnp.asarray(tl), jnp.asarray(th), sl, sh)
 
 
+def _zh_values(air: Air, config: StarkConfig):
+    """Z_H(x) = x^n − 1 is constant on each stride-`blowup` coset of the
+    LDE domain (x^n depends only on j mod blowup).  Returns (vals, invs)
+    Python int lists of length blowup, indexed by coset c = j % blowup."""
+    n = air.n
+    blowup = 1 << config.rate_bits
+    w8 = _root_of_unity(air.log_n + config.rate_bits, inverse=False)
+    z8 = pow(w8, n, P)  # order `blowup`
+    g_n = pow(gl.GENERATOR, n, P)
+    vals = [(g_n * pow(z8, i, P) - 1) % P for i in range(blowup)]
+    invs = [pow(v, P - 2, P) for v in vals]
+    return vals, invs
+
+
 def _zh_on_domain(air: Air, config: StarkConfig):
     """Z_H(x) = x^n - 1 on the LDE coset: period-`blowup` values, tiled.
     Returns (zh_lo, zh_hi, zh_inv_lo, zh_inv_hi) arrays of length N."""
     n = air.n
     blowup = 1 << config.rate_bits
     N = n * blowup
-    w8 = _root_of_unity(air.log_n + config.rate_bits, inverse=False)
-    z8 = pow(w8, n, P)  # order `blowup`
-    g_n = pow(gl.GENERATOR, n, P)
-    vals = [(g_n * pow(z8, i, P) - 1) % P for i in range(blowup)]
-    invs = [pow(v, P - 2, P) for v in vals]
+    vals, invs = _zh_values(air, config)
     tile = N // blowup
     zh = np.tile(np.array(vals, dtype=np.uint64), tile)[:N]
     zhi = np.tile(np.array(invs, dtype=np.uint64), tile)[:N]
@@ -363,16 +441,22 @@ def _boundary_value_arrays(boundaries):
             jnp.asarray((v >> np.uint64(32)).astype(np.uint32)))
 
 
-def _composition_core(air, public, boundaries, x_last, blowup,
+def _composition_core(air, public, boundaries, x_last, roll,
                       trl, trh, axl, axh, cll, clh,
                       alpha4, betas_pair, deltas_pair, bnd_v,
                       xl, xh, zh_l, zh_h):
     """acc(x) = Σ_i α^i·T_i(x)·(x−x_last) + Σ_b α^{n+b}·B_b(x)·Z_H(x)/(x−x_b)
     over the LDE domain, as (c0_lo, c0_hi, c1_lo, c1_hi).
 
+    `roll` is the index distance of "the next trace row" in the given
+    evaluation ordering: `blowup` on the full natural-order LDE domain, 1
+    on a single stride-`blowup` coset (the streamed prover evaluates the
+    identical polynomial identity coset-by-coset).
+
     Pure function of device inputs + the AIR SHAPE: challenge values and
     boundary values arrive as traced arrays, so the same compiled graph
     serves every proof of this shape."""
+    blowup = roll
     W = trl.shape[0]
     A = axl.shape[0]
     K = cll.shape[0]
@@ -455,12 +539,12 @@ def _composition_core(air, public, boundaries, x_last, blowup,
     return acc
 
 
-def _composition_jit(air, config, public, boundaries, x_last):
-    blowup = 1 << config.rate_bits
+def _composition_jit(air, config, public, boundaries, x_last, roll=None):
+    roll = roll if roll is not None else 1 << config.rate_bits
 
     def body(trl, trh, axl, axh, cll, clh, alpha4, betas_pair, deltas_pair,
              bnd_v, xl, xh, zh_l, zh_h):
-        return _composition_core(air, public, boundaries, x_last, blowup,
+        return _composition_core(air, public, boundaries, x_last, roll,
                                  trl, trh, axl, axh, cll, clh, alpha4,
                                  betas_pair, deltas_pair, bnd_v,
                                  xl, xh, zh_l, zh_h)
@@ -493,6 +577,8 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
     n = air.n
     W = air.width
     assert trace_u64.shape == (W, n)
+    if trace_sharding is None and _use_streaming(air, config):
+        return prove_streamed(air, trace_u64, config)
     blowup = 1 << config.rate_bits
     N = n * blowup
     log_N = air.log_n + config.rate_bits
@@ -751,6 +837,316 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
             aux_openings.append(TreeOpening(
                 leaf=[int(x) for x in a_host[:, q]],
                 path=aux_tree.open(q)))
+
+    return StarkProof(
+        trace_cap=trace_tree.cap_ints(),
+        quotient_cap=quot_tree.cap_ints(),
+        trace_at_zeta=trace_at_zeta,
+        trace_at_zeta_next=trace_at_zeta_next,
+        quotient_at_zeta=quotient_at_zeta,
+        fri_proof=fri_proof,
+        trace_openings=trace_openings,
+        quotient_openings=quotient_openings,
+        constants_at_zeta=constants_at_zeta,
+        constants_openings=constants_openings,
+        aux_cap=aux_tree.cap_ints() if (lookups or ports) else [],
+        aux_at_zeta=aux_at_zeta,
+        aux_at_zeta_next=aux_at_zeta_next,
+        aux_openings=aux_openings,
+    )
+
+
+def prove_streamed(air: Air, trace_u64: np.ndarray,
+                   config: StarkConfig = StarkConfig()) -> StarkProof:
+    """Coset-streamed prover: BIT-IDENTICAL proofs to `prove`, with peak
+    device memory ~1/blowup of the standing-LDE schedule.
+
+    The LDE domain decomposes into `blowup` stride-`blowup` cosets: index
+    j = blowup·t + c is the point g·w_N^c·w_n^t.  Every full-domain stage
+    (leaf hashing, constraint composition, DEEP) is evaluated one coset at
+    a time as a size-n transform — "the next trace row" is roll-1 within a
+    coset — and only (N,)-sized single polynomials (composition accumulator,
+    DEEP codeword) and digest layers are ever materialized at full size.
+    This is what lets the verifier-VM machine AIR (105 committed columns ×
+    multi-million-row traces at production FRI security) prove on one v5e
+    chip.  Selected automatically by `prove` past STREAM_THRESHOLD_ELEMS;
+    force with VECTORX_STREAM_PROVER=1/0."""
+    n = air.n
+    W = air.width
+    assert trace_u64.shape == (W, n)
+    blowup = 1 << config.rate_bits
+    N = n * blowup
+    log_N = air.log_n + config.rate_bits
+    cap_h = config.fri.cap_height
+    challenger = Challenger()
+    public = air.public_inputs()
+    challenger.observe_many(public)
+
+    # ---- preprocessed (constant) columns ----------------------------------
+    const_tree, _, const_coeff = preprocess(air, config)
+    if const_tree is not None:
+        challenger.observe_cap(const_tree.cap_ints())
+    K = air.constant_columns().shape[0]
+
+    # ---- trace commit ------------------------------------------------------
+    tl, th = gl.from_u64(trace_u64)
+    coeff_l, coeff_h = _intt_rows(tl, th)
+    trace_tree = _commit_streamed(coeff_l, coeff_h, log_N, cap_h)
+    challenger.observe_cap(trace_tree.cap_ints())
+
+    # ---- lookup/bus aux columns -------------------------------------------
+    lookups = air.lookups()
+    ports = air.bus_ports()
+    _, _, A = bus_aux_layout(air)
+    betas: list[int] = []
+    deltas: list[int] = []
+    aux_tree = aux_coeff = None
+    if lookups or ports:
+        assert K, "lookup tables / bus addresses live in constant_columns()"
+        if lookups:
+            assert air.constraint_degree >= max(lk.degree for lk in lookups)
+        betas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        if ports:
+            deltas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
+        consts_u64 = air.constant_columns()
+        parts = []
+        if lookups:
+            parts.append(lookup_aux_trace(air, tl, th, consts_u64, betas))
+        if ports:
+            parts.append(bus_aux_trace(air, tl, th, consts_u64, betas,
+                                       deltas))
+        aux_u64 = np.concatenate(parts, axis=0)
+        axl, axh = gl.from_u64(aux_u64)
+        aux_coeff = _intt_rows(axl, axh)
+        aux_tree = _commit_streamed(aux_coeff[0], aux_coeff[1], log_N, cap_h)
+        challenger.observe_cap(aux_tree.cap_ints())
+
+    # ---- constraint composition, coset by coset ---------------------------
+    alpha = challenger.get_extension_challenge()
+    w = _root_of_unity(air.log_n, inverse=False)
+    x_last = pow(w, n - 1, P)
+    boundaries = list(air.boundaries(public)) + \
+        (lookup_boundaries(air) if (lookups or ports) else [])
+    zh_vals, zh_invs = _zh_values(air, config)
+    comp = _composition_jit(air, config, public, boundaries, x_last, roll=1)
+    wt_l, wt_h = power_table(w, n)   # w_n^t table, shared by every coset
+    wt_l = jnp.asarray(wt_l)
+    wt_h = jnp.asarray(wt_h)
+    empty = (jnp.zeros((0, n), jnp.uint32), jnp.zeros((0, n), jnp.uint32))
+    alpha4 = _ext_from_pair(alpha)
+    betas_pair = _challenge_arrays(betas)
+    deltas_pair = _challenge_arrays(deltas)
+    bnd_v = _boundary_value_arrays(boundaries)
+
+    def coset_x(c):
+        s = _coset_shift(c, log_N)
+        return gl.mul(wt_l, wt_h, jnp.uint32(s & 0xFFFFFFFF),
+                      jnp.uint32(s >> 32))
+
+    def scalar_fill(v):
+        return (jnp.full((n,), v & 0xFFFFFFFF, jnp.uint32),
+                jnp.full((n,), v >> 32, jnp.uint32))
+
+    acc_parts = [[], [], [], []]
+    for c in range(blowup):
+        e_tr = _coset_evals(coeff_l, coeff_h, c, log_N)
+        e_ax = _coset_evals(*aux_coeff, c, log_N) if aux_coeff else empty
+        e_cl = _coset_evals(*const_coeff, c, log_N) if K else empty
+        xl_c, xh_c = coset_x(c)
+        zh_c = scalar_fill(zh_vals[c])
+        acc_c = comp(e_tr[0], e_tr[1], e_ax[0], e_ax[1], e_cl[0], e_cl[1],
+                     alpha4, betas_pair, deltas_pair, bnd_v,
+                     xl_c, xh_c, zh_c[0], zh_c[1])
+        for i in range(4):
+            acc_parts[i].append(acc_c[i])
+    acc = tuple(_interleave_cosets(p) for p in acc_parts)
+
+    # ---- quotient ----------------------------------------------------------
+    _, _, zhinv_l, zhinv_h = _zh_on_domain(air, config)
+    q0 = gl.mul(acc[0], acc[1], zhinv_l, zhinv_h)
+    q1 = gl.mul(acc[2], acc[3], zhinv_l, zhinv_h)
+    del acc
+    qc0 = coset_intt(*q0)
+    qc1 = coset_intt(*q1)
+    del q0, q1
+    chunks = _num_quotient_chunks(air)
+    c0_host = gl.to_u64(*qc0)
+    c1_host = gl.to_u64(*qc1)
+    assert np.all(c0_host[chunks * n:] == 0) and \
+        np.all(c1_host[chunks * n:] == 0), \
+        "composition polynomial exceeds quotient degree bound"
+    qcoef = np.zeros((2 * chunks, n), dtype=np.uint64)
+    for k in range(chunks):
+        qcoef[2 * k] = c0_host[k * n:(k + 1) * n]
+        qcoef[2 * k + 1] = c1_host[k * n:(k + 1) * n]
+    ql, qh = gl.from_u64(qcoef)
+    quot_tree = _commit_streamed(ql, qh, log_N, cap_h)
+    challenger.observe_cap(quot_tree.cap_ints())
+
+    # ---- DEEP openings at ζ (coefficient-side, identical to `prove`) ------
+    zeta = challenger.get_extension_challenge()
+    w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
+    trace_at_zeta = eval_base_polys_at_ext(coeff_l, coeff_h, zeta)
+    trace_at_zeta_next = eval_base_polys_at_ext(coeff_l, coeff_h, w_zeta)
+    aux_at_zeta = []
+    aux_at_zeta_next = []
+    if lookups or ports:
+        aux_at_zeta = eval_base_polys_at_ext(*aux_coeff, zeta)
+        aux_at_zeta_next = eval_base_polys_at_ext(*aux_coeff, w_zeta)
+    constants_at_zeta = []
+    if K:
+        constants_at_zeta = eval_base_polys_at_ext(*const_coeff, zeta)
+    quot_at_zeta_flat = eval_base_polys_at_ext(ql, qh, zeta)
+    quotient_at_zeta = []
+    for k in range(chunks):
+        e0 = quot_at_zeta_flat[2 * k]
+        e1 = quot_at_zeta_flat[2 * k + 1]
+        quotient_at_zeta.append(ext_py.add(e0, ext_py.mul((0, 1), e1)))
+    for pair in (*trace_at_zeta, *trace_at_zeta_next, *aux_at_zeta,
+                 *aux_at_zeta_next, *constants_at_zeta, *quotient_at_zeta):
+        challenger.observe(pair[0])
+        challenger.observe(pair[1])
+
+    # ---- DEEP composition polynomial, coset by coset ----------------------
+    gamma = challenger.get_extension_challenge()
+    zeta_dev = _ext_from_pair(zeta)
+    wzeta_dev = _ext_from_pair(w_zeta)
+    n_polys = 2 * W + 2 * A + K + chunks
+    g_pows = []
+    g_pow = ext_py.ONE
+    for _ in range(n_polys):
+        g_pows.append(g_pow)
+        g_pow = ext_py.mul(g_pow, gamma)
+
+    def _weights(pairs):
+        return ge.from_pair_u64(
+            np.array([p[0] for p in pairs], dtype=np.uint64),
+            np.array([p[1] for p in pairs], dtype=np.uint64))
+
+    def dotc(gps, opened):
+        cacc = ext_py.ZERO
+        for gp, y in zip(gps, opened):
+            cacc = ext_py.add(cacc, ext_py.mul(gp, y))
+        return cacc
+
+    def base_group_c(cols_l, cols_h, weights, scalar_sum, inv_den):
+        w0l, w0h, w1l, w1h = weights
+        B = cols_l.shape[0]
+        CH = max(1, min(B, (1 << 25) // max(1, n)))
+        s0 = s1 = None
+        for s in range(0, B, CH):
+            e = min(s + CH, B)
+            c0 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                                   w0l[s:e, None], w0h[s:e, None]))
+            c1 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                                   w1l[s:e, None], w1h[s:e, None]))
+            s0 = c0 if s0 is None else gl.add(*s0, *c0)
+            s1 = c1 if s1 is None else gl.add(*s1, *c1)
+        diff = ge.sub((*s0, *s1), tuple(
+            jnp.broadcast_to(v, s0[0].shape)
+            for v in _ext_from_pair(scalar_sum)))
+        return ge.mul(diff, inv_den)
+
+    qg = g_pows[2 * W + 2 * A + K:]
+    qw = _weights(qg)
+    qc_scalar = ext_py.ZERO
+    for gp, y in zip(qg, quotient_at_zeta):
+        qc_scalar = ext_py.add(qc_scalar, ext_py.mul(gp, y))
+    L_parts = [[], [], [], []]
+    for c in range(blowup):
+        xl_c, xh_c = coset_x(c)
+        x_ext = (xl_c, xh_c, jnp.zeros_like(xl_c), jnp.zeros_like(xh_c))
+        inv_x_zeta = ge.inv(ge.sub(x_ext, tuple(
+            jnp.broadcast_to(v, xl_c.shape) for v in zeta_dev)))
+        inv_x_wzeta = ge.inv(ge.sub(x_ext, tuple(
+            jnp.broadcast_to(v, xl_c.shape) for v in wzeta_dev)))
+        e_tr = _coset_evals(coeff_l, coeff_h, c, log_N)
+        L = ge.zeros(xl_c.shape)
+        L = ge.add(L, base_group_c(e_tr[0], e_tr[1], _weights(g_pows[:W]),
+                                   dotc(g_pows[:W], trace_at_zeta),
+                                   inv_x_zeta))
+        L = ge.add(L, base_group_c(e_tr[0], e_tr[1],
+                                   _weights(g_pows[W:2 * W]),
+                                   dotc(g_pows[W:2 * W],
+                                        trace_at_zeta_next), inv_x_wzeta))
+        del e_tr
+        if lookups or ports:
+            e_ax = _coset_evals(*aux_coeff, c, log_N)
+            ga = g_pows[2 * W:2 * W + A]
+            gb = g_pows[2 * W + A:2 * W + 2 * A]
+            L = ge.add(L, base_group_c(e_ax[0], e_ax[1], _weights(ga),
+                                       dotc(ga, aux_at_zeta), inv_x_zeta))
+            L = ge.add(L, base_group_c(e_ax[0], e_ax[1], _weights(gb),
+                                       dotc(gb, aux_at_zeta_next),
+                                       inv_x_wzeta))
+            del e_ax
+        if K:
+            e_cl = _coset_evals(*const_coeff, c, log_N)
+            kg = g_pows[2 * W + 2 * A:2 * W + 2 * A + K]
+            L = ge.add(L, base_group_c(e_cl[0], e_cl[1], _weights(kg),
+                                       dotc(kg, constants_at_zeta),
+                                       inv_x_zeta))
+            del e_cl
+        e_q = _coset_evals(ql, qh, c, log_N)
+        qc0l, qc0h = e_q[0][0::2], e_q[1][0::2]
+        qc1l, qc1h = e_q[0][1::2], e_q[1][1::2]
+        t00 = gl.mul(qc0l, qc0h, qw[0][:, None], qw[1][:, None])
+        t11 = gl.mul(qc1l, qc1h, qw[2][:, None], qw[3][:, None])
+        t01 = gl.mul(qc1l, qc1h, qw[0][:, None], qw[1][:, None])
+        t10 = gl.mul(qc0l, qc0h, qw[2][:, None], qw[3][:, None])
+        s_c0 = _sum_rows(*gl.add(*t00, *gl.mul_small(*t11, ge.W)))
+        s_c1 = _sum_rows(*gl.add(*t01, *t10))
+        qdiff = ge.sub((*s_c0, *s_c1), tuple(
+            jnp.broadcast_to(v, s_c0[0].shape)
+            for v in _ext_from_pair(qc_scalar)))
+        L = ge.add(L, ge.mul(qdiff, inv_x_zeta))
+        for i in range(4):
+            L_parts[i].append(L[i])
+    L = tuple(_interleave_cosets(p) for p in L_parts)
+
+    # ---- FRI ---------------------------------------------------------------
+    fri_proof, layers, codewords = fri_prove(L, log_N, gl.GENERATOR,
+                                             config.fri, challenger)
+    indices = derive_query_indices(challenger, log_N,
+                                   config.fri.num_queries)
+    fri_proof.query_rounds = [open_query(layers, codewords, i)
+                              for i in indices]
+
+    # ---- per-query openings: recompute only the queried cosets ------------
+    by_coset: dict[int, list[int]] = {}
+    for q in indices:
+        by_coset.setdefault(q % blowup, []).append(q)
+    leaf_at: dict[str, dict[int, list[int]]] = {
+        "tr": {}, "q": {}, "k": {}, "ax": {}}
+    groups = [("tr", (coeff_l, coeff_h)), ("q", (ql, qh))]
+    if K:
+        groups.append(("k", const_coeff))
+    if lookups or ports:
+        groups.append(("ax", aux_coeff))
+    for c, js in by_coset.items():
+        ts = np.array(sorted({j // blowup for j in js}), dtype=np.int64)
+        t_pos = {int(t): k for k, t in enumerate(ts)}
+        for name, (kl_, kh_) in groups:
+            el, eh = _coset_evals(kl_, kh_, c, log_N)
+            vals = np.asarray(gl.to_u64(el[:, ts], eh[:, ts]))
+            for j in js:
+                leaf_at[name][j] = [int(x) for x in
+                                    vals[:, t_pos[j // blowup]]]
+    trace_openings = []
+    quotient_openings = []
+    constants_openings = []
+    aux_openings = []
+    for q in indices:
+        trace_openings.append(TreeOpening(leaf=leaf_at["tr"][q],
+                                          path=trace_tree.open(q)))
+        quotient_openings.append(TreeOpening(leaf=leaf_at["q"][q],
+                                             path=quot_tree.open(q)))
+        if K:
+            constants_openings.append(TreeOpening(
+                leaf=leaf_at["k"][q], path=const_tree.open(q)))
+        if lookups or ports:
+            aux_openings.append(TreeOpening(
+                leaf=leaf_at["ax"][q], path=aux_tree.open(q)))
 
     return StarkProof(
         trace_cap=trace_tree.cap_ints(),
