@@ -20,9 +20,17 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def host_key() -> str:
     import jax
 
+    # XLA:CPU picks compile-target features (e.g. prefer-no-scatter) per
+    # process configuration: blobs written under one XLA_FLAGS/platform
+    # combination fail to load (cpu_aot_loader errors, wasted recompiles)
+    # under another.  Fold the flag environment into the key so each
+    # configuration gets its own namespace.
+    env = os.environ.get("XLA_FLAGS", "") + "|" + \
+        os.environ.get("JAX_PLATFORMS", "") + "|" + \
+        os.environ.get("PALLAS_AXON_POOL_IPS", "")
     key = hashlib.sha256(
         (platform.machine() + platform.processor()
-         + jax.version.__version__).encode()).hexdigest()[:12]
+         + jax.version.__version__ + env).encode()).hexdigest()[:12]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
