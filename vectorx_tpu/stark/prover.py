@@ -589,6 +589,10 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
 
     # ---- preprocessed (constant) columns ---------------------------------
     const_tree, const_lde, const_coeff = preprocess(air, config)
+    if const_tree is not None and const_lde is None:
+        # preprocess streamed its commitment (huge AIR) but this path was
+        # forced (e.g. trace_sharding): materialize the LDE it skipped
+        const_lde = _coset_lde_rows(*const_coeff, N)
     if const_tree is not None:
         challenger.observe_cap(const_tree.cap_ints())
     K = air.constant_columns().shape[0]
