@@ -49,6 +49,26 @@ class PoseidonMerkleTree:
         return path
 
 
+# Poseidon batches are hashed in row blocks: the width-12 permutation's
+# MDS stage materializes (B, 12, 12) temporaries, so an unchunked
+# multi-million-row tree level (streamed-prover domains reach 2^24 leaves)
+# allocates tens of GB.  2^19 rows ≈ 0.3 GB per temporary.
+POSEIDON_CHUNK_ROWS = 1 << 19
+
+
+def _rows_blocked(fn, *pairs):
+    """Apply fn over row blocks of the leading axis; concatenate results.
+    Row-independent hashing makes this bit-identical to one call."""
+    n = pairs[0][0].shape[0]
+    if n <= POSEIDON_CHUNK_ROWS:
+        return fn(*pairs)
+    outs = [fn(*[(a[s:s + POSEIDON_CHUNK_ROWS], b[s:s + POSEIDON_CHUNK_ROWS])
+                 for (a, b) in pairs])
+            for s in range(0, n, POSEIDON_CHUNK_ROWS)]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
+
+
 def hash_leaves(leaves_lo, leaves_hi):
     """(n, leaf_len) -> (n, 4) digests with plonky2's hash_or_noop rule:
     leaves of <= 4 elements are zero-padded and used as digests directly."""
@@ -58,7 +78,8 @@ def hash_leaves(leaves_lo, leaves_hi):
         lo = jnp.pad(leaves_lo, ((0, 0), (0, pad)))
         hi = jnp.pad(leaves_hi, ((0, 0), (0, pad)))
         return lo, hi
-    return poseidon.hash_no_pad(leaves_lo, leaves_hi)
+    return _rows_blocked(lambda p: poseidon.hash_no_pad(*p),
+                         (leaves_lo, leaves_hi))
 
 
 def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
@@ -79,7 +100,8 @@ def build_tree_from_digests(lo, hi, cap_height: int = 0) -> PoseidonMerkleTree:
     while lo.shape[0] > (1 << cap_height):
         left = (lo[0::2], hi[0::2])
         right = (lo[1::2], hi[1::2])
-        lo, hi = poseidon.two_to_one(left, right)
+        lo, hi = _rows_blocked(lambda l, r: poseidon.two_to_one(l, r),
+                               left, right)
         device_layers.append((lo, hi))
     layers = [gl.to_u64(l, h) for (l, h) in device_layers]
     return PoseidonMerkleTree(layers=layers, cap_height=cap_height)
