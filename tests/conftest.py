@@ -33,3 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
+
+# Golden-proof fixtures (tests/_proofcache.py): the default tier loads
+# checked-in proofs for module-scope statements instead of re-proving for
+# minutes; keys hash the full statement+trace, so tampered/changed inputs
+# always prove for real.  The slow tier re-proves everything.
+if os.environ.get("VECTORX_SLOW_TESTS", "0") != "1":
+    from _proofcache import install as _install_proof_cache  # noqa: E402
+
+    _install_proof_cache()

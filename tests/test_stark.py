@@ -80,3 +80,21 @@ def test_streamed_prover_bit_exact():
     assert [o.path for o in full.quotient_openings] == \
         [o.path for o in streamed.quotient_openings]
     assert verify(air, streamed, CFG)
+
+
+def test_proof_json_roundtrip():
+    """Wire-format round-trip: proof -> JSON -> proof verifies and is
+    value-identical (the reference ships serialized proofs — its tests
+    pin serializer round-trips the same way, header_range.rs:101-127)."""
+    import json
+
+    from vectorx_tpu.stark.serialize import proof_from_json, proof_to_json
+
+    air = FibonacciAir(log_n=4)
+    proof = prove(air, air.build_trace(), CFG)
+    wire = json.dumps(proof_to_json(proof))
+    back = proof_from_json(json.loads(wire))
+    assert back.trace_cap == proof.trace_cap
+    assert back.trace_at_zeta == list(proof.trace_at_zeta)
+    assert back.fri_proof.final_coeffs == list(proof.fri_proof.final_coeffs)
+    assert verify(air, back, CFG)
