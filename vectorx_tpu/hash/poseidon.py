@@ -103,6 +103,14 @@ def _generated_mds() -> tuple:
 
 
 _OVERRIDE = {"rc": None, "mds": None}
+_PARAMS_EPOCH = 0
+
+
+def params_epoch() -> int:
+    """Monotone counter bumped whenever the parameter table changes —
+    cached jitted graphs bake the table in as constants, so any cache
+    keyed on graph structure must include this (stark/stages.py)."""
+    return _PARAMS_EPOCH
 
 
 def load_round_constants(path: str) -> None:
@@ -115,8 +123,10 @@ def load_round_constants(path: str) -> None:
     assert len(rc) == WIDTH * N_ROUNDS
     mds = tuple(tuple(int(x) % P for x in row) for row in data["mds"])
     assert len(mds) == WIDTH and all(len(r) == WIDTH for r in mds)
+    global _PARAMS_EPOCH
     _OVERRIDE["rc"] = rc
     _OVERRIDE["mds"] = mds
+    _PARAMS_EPOCH += 1
     _params.cache_clear()
     # jitted callables bake the parameter tables in as constants
     permute.clear_cache()

@@ -49,6 +49,29 @@ class PoseidonMerkleTree:
         return path
 
 
+class DeviceTree:
+    """Merkle tree whose digest layers stay ON DEVICE as (n, 4) (lo, hi)
+    uint32 pairs.  Only the cap is ever transferred (lazily, for the
+    Fiat-Shamir transcript); openings are gathered in bulk by the staged
+    prover (stark/stages.py::open_positions) instead of per-query host
+    loops — on the remote-TPU tunnel a per-level host transfer costs
+    ~28 ms, so a 28-query proof over 20-level trees would pay minutes."""
+
+    __slots__ = ("layers", "cap_height", "_cap")
+
+    def __init__(self, layers, cap_height: int):
+        self.layers = layers
+        self.cap_height = cap_height
+        self._cap = None
+
+    def cap_ints(self) -> list[list[int]]:
+        if self._cap is None:
+            lo, hi = self.layers[-1]
+            u = gl.to_u64(lo, hi)
+            self._cap = [[int(x) for x in row] for row in u]
+        return self._cap
+
+
 # Poseidon batches are hashed in row blocks: the width-12 permutation's
 # MDS stage materializes (B, 12, 12) temporaries, so an unchunked
 # multi-million-row tree level (streamed-prover domains reach 2^24 leaves)
@@ -89,10 +112,14 @@ def build_tree(leaves_lo, leaves_hi, cap_height: int = 0) -> PoseidonMerkleTree:
     return build_tree_from_digests(lo, hi, cap_height)
 
 
-def build_tree_from_digests(lo, hi, cap_height: int = 0) -> PoseidonMerkleTree:
-    """Internal layers from already-hashed (n, 4) leaf digests — the entry
-    point for streamed commitments, where leaves are hashed coset-by-coset
-    to bound peak memory and only their digests are interleaved."""
+def build_layers(leaves_lo, leaves_hi, cap_height: int = 0) -> list:
+    """Digest layers (leaf digests first, cap last) as device (lo, hi)
+    pairs.  Pure jnp — traceable inside a jitted prover stage."""
+    lo, hi = hash_leaves(leaves_lo, leaves_hi)
+    return layers_from_digests(lo, hi, cap_height)
+
+
+def layers_from_digests(lo, hi, cap_height: int = 0) -> list:
     n = lo.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
     assert (1 << cap_height) <= n
@@ -103,6 +130,14 @@ def build_tree_from_digests(lo, hi, cap_height: int = 0) -> PoseidonMerkleTree:
         lo, hi = _rows_blocked(lambda l, r: poseidon.two_to_one(l, r),
                                left, right)
         device_layers.append((lo, hi))
+    return device_layers
+
+
+def build_tree_from_digests(lo, hi, cap_height: int = 0) -> PoseidonMerkleTree:
+    """Internal layers from already-hashed (n, 4) leaf digests — the entry
+    point for streamed commitments, where leaves are hashed coset-by-coset
+    to bound peak memory and only their digests are interleaved."""
+    device_layers = layers_from_digests(lo, hi, cap_height)
     layers = [gl.to_u64(l, h) for (l, h) in device_layers]
     return PoseidonMerkleTree(layers=layers, cap_height=cap_height)
 

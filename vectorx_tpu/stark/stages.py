@@ -1,0 +1,829 @@
+"""Device-resident prover stages, compiled once per shape and reused.
+
+Why this module exists: the reference stack's prover is a CPU loop nest
+(plonky2 witness gen → LDE → Merkle → FRI, SURVEY.md §3.1), which round 1-3
+translated into eager JAX — correct, but every `jnp` op is a separate
+device dispatch, and on the remote-TPU tunnel a dispatch costs ~28 ms.  A
+single 512-row proof issued tens of thousands of eager ops (≈ 8 minutes of
+pure dispatch latency; measured 484 s in BENCH_r03).
+
+The fix is structural, not micro-optimization: every stage between two
+Fiat-Shamir transcript touches is ONE jitted device computation —
+
+    commit        : iNTT → coset-LDE → leaf hash → Merkle layers
+    aux commit    : LogUp/bus witness gen → iNTT → LDE → Merkle layers
+    quotient      : Z_H division → iNTT → chunk split → re-NTT → Merkle
+    DEEP eval     : all polynomial groups at ζ and w·ζ (one dispatch)
+    DEEP compose  : the batched opening codeword L(x)
+    FRI           : one fused fold+commit per layer
+    grind         : batched proof-of-work search
+    openings      : every queried leaf + Merkle path, one bulk gather
+
+and the stage callables are cached at module level, keyed ONLY by static
+graph structure (shapes are handled by jit's own retrace cache) — never by
+Fiat-Shamir values, public inputs, or witness data, which all arrive as
+traced arrays.  A proof then costs a fixed ~30 dispatches regardless of AIR
+width or constraint count, and repeat proofs of the same shape skip tracing
+entirely.  The big LDE matrices and Merkle layers never leave the device;
+only caps, ζ-openings, and the final query gathers (a few KB) cross the
+tunnel.
+
+Bit-exactness: all math is exact uint32-limb integer arithmetic, so jit
+compilation cannot change results — proofs are bit-identical to the eager
+round-3 pipeline (regression-locked by tests/test_stark.py golden proofs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vectorx_tpu import merkle
+from vectorx_tpu.field import ext_py
+from vectorx_tpu.field import extension as ge
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.hash import poseidon
+from vectorx_tpu.merkle import DeviceTree
+from vectorx_tpu.ntt import coset_intt, coset_ntt, intt, ntt, power_table
+from vectorx_tpu.ntt.ntt import _root_of_unity
+
+P = gl.P
+
+# Peak-HBM knob for wide-trace LDEs: transforms over a (rows, N) limb
+# array run in row blocks of ~2^LDE_CHUNK_ELEMS elements, so butterfly
+# temporaries stay bounded no matter how wide the AIR is (the machine
+# verifier-VM at production FRI security reaches 50 constant columns ×
+# multi-million-point domains — an unchunked transform OOMs a v5e chip).
+LDE_CHUNK_ELEMS = 1 << 26
+
+_JITS: dict = {}
+_DEV: dict = {}
+
+
+def clear_caches() -> None:
+    """Drop every cached stage callable and device array (tests use this
+    after swapping Poseidon parameter tables or chunk knobs)."""
+    _JITS.clear()
+    _DEV.clear()
+
+
+def env_key() -> tuple:
+    """Graph-shaping globals that must participate in every stage key:
+    the chunking knobs change the traced graph (tests shrink them to
+    exercise the chunked paths) and the Poseidon parameter table changes
+    the baked MDS/round constants."""
+    return (LDE_CHUNK_ELEMS, merkle.POSEIDON_CHUNK_ROWS,
+            poseidon.params_epoch())
+
+
+def cached_jit(key: tuple, build):
+    fn = _JITS.get(key)
+    if fn is None:
+        fn = _JITS[key] = build()
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Row-chunked transforms (shared by prover paths)
+# ---------------------------------------------------------------------------
+
+def rows_chunked(fn, lo, hi, out_cols: int):
+    """Apply `fn(lo_block, hi_block) -> (lo', hi')` over row blocks sized
+    so block_rows · out_cols ≤ LDE_CHUNK_ELEMS.  Bit-identical to one
+    full-width call — the transform is independent per row."""
+    rows = lo.shape[0]
+    block = max(1, LDE_CHUNK_ELEMS // max(1, out_cols))
+    if rows <= block:
+        return fn(lo, hi)
+    outs = [fn(lo[s:s + block], hi[s:s + block])
+            for s in range(0, rows, block)]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
+
+
+def intt_rows(lo, hi):
+    return rows_chunked(intt, lo, hi, lo.shape[-1])
+
+
+def coset_lde_rows(cl, ch, N: int):
+    """coeffs (rows, n) -> coset evaluations (rows, N), row-chunked."""
+    n = cl.shape[-1]
+
+    def one(a, b):
+        pad = ((0, 0), (0, N - n))
+        return coset_ntt(jnp.pad(a, pad), jnp.pad(b, pad))
+
+    return rows_chunked(one, cl, ch, N)
+
+
+# ---------------------------------------------------------------------------
+# Cached device constants (domain points, vanishing values, shift tables)
+# ---------------------------------------------------------------------------
+
+def _dev(key: tuple, build):
+    v = _DEV.get(key)
+    if v is None:
+        v = _DEV[key] = build()
+    return v
+
+
+def domain_x(log_len: int, shift: int):
+    """x_i = shift·w^i over a 2^log_len domain, as device (lo, hi)."""
+    def build():
+        n = 1 << log_len
+        w = _root_of_unity(log_len, inverse=False)
+        tl, th = power_table(w, n)
+        sl = jnp.uint32(shift & 0xFFFFFFFF)
+        sh = jnp.uint32(shift >> 32)
+        out = jax.jit(gl.mul)(jnp.asarray(tl), jnp.asarray(th), sl, sh)
+        return tuple(jax.device_put(o) for o in out)
+
+    return _dev(("x", log_len, shift), build)
+
+
+def shift_table(shift: int, n: int):
+    """[shift^0 .. shift^(n-1)] as device (lo, hi) — cached so streamed
+    per-coset evaluation never re-transfers the table."""
+    def build():
+        tl, th = power_table(shift, n)
+        return jnp.asarray(tl), jnp.asarray(th)
+
+    return _dev(("pt", shift, n), build)
+
+
+def zh_values(log_n: int, rate_bits: int):
+    """Z_H(x) = x^n − 1 on the stride-`blowup` cosets: (vals, invs) Python
+    int lists of length blowup, indexed by coset c = j % blowup."""
+    def build():
+        n = 1 << log_n
+        blowup = 1 << rate_bits
+        w8 = _root_of_unity(log_n + rate_bits, inverse=False)
+        z8 = pow(w8, n, P)
+        g_n = pow(gl.GENERATOR, n, P)
+        vals = [(g_n * pow(z8, i, P) - 1) % P for i in range(blowup)]
+        invs = [pow(v, P - 2, P) for v in vals]
+        return vals, invs
+
+    return _dev(("zhv", log_n, rate_bits), build)
+
+
+def zh_on_domain(log_n: int, rate_bits: int):
+    """(zh_lo, zh_hi, zh_inv_lo, zh_inv_hi) over the length-N LDE domain
+    (period-`blowup` values, tiled), cached on device."""
+    def build():
+        blowup = 1 << rate_bits
+        N = (1 << log_n) * blowup
+        vals, invs = zh_values(log_n, rate_bits)
+        zh = np.tile(np.array(vals, dtype=np.uint64), N // blowup)[:N]
+        zhi = np.tile(np.array(invs, dtype=np.uint64), N // blowup)[:N]
+        return (*gl.from_u64(zh), *gl.from_u64(zhi))
+
+    return _dev(("zh", log_n, rate_bits), build)
+
+
+# ---------------------------------------------------------------------------
+# Commitments
+# ---------------------------------------------------------------------------
+
+def commit_rows(rl, rh, *, rate_bits: int, cap_height: int,
+                do_intt: bool = True):
+    """Commit to polynomial rows (R, n): iNTT (optional) → rate-2^k coset
+    LDE → leaf hash → Merkle layers, as ONE device computation.
+
+    Returns ((coeff_l, coeff_h), (lde_l, lde_h), DeviceTree)."""
+    key = ("commit", rate_bits, cap_height, do_intt, env_key())
+
+    def build():
+        def fn(rl, rh):
+            N = rl.shape[-1] << rate_bits
+            cl, ch = intt_rows(rl, rh) if do_intt else (rl, rh)
+            ll, lh = coset_lde_rows(cl, ch, N)
+            layers = merkle.build_layers(ll.T, lh.T, cap_height=cap_height)
+            return (cl, ch), (ll, lh), layers
+
+        return jax.jit(fn)
+
+    coeff, lde_, layers = cached_jit(key, build)(rl, rh)
+    return coeff, lde_, DeviceTree(layers, cap_height)
+
+
+def coset_eval_rows(cl, ch, shift: int):
+    """Evaluate degree-<n coefficient rows (R, n) on the coset shift·H —
+    the streamed prover's per-coset workhorse.  The shift power table is a
+    cached device constant; the multiply+NTT is one cached jit."""
+    n = cl.shape[-1]
+    tl, th = shift_table(shift, n)
+    key = ("cosev", env_key())
+
+    def build():
+        def fn(cl, ch, tl, th):
+            def one(a, b):
+                sl, sh = gl.mul(a, b, tl, th)
+                return ntt(sl, sh)
+
+            return rows_chunked(one, cl, ch, cl.shape[-1])
+
+        return jax.jit(fn)
+
+    return cached_jit(key, build)(cl, ch, tl, th)
+
+
+def hash_rows_leaves(el, eh):
+    """Leaf digests of evaluation rows (R, n) — columns are leaves."""
+    key = ("leafhash", env_key())
+
+    def build():
+        return jax.jit(lambda el, eh: merkle.hash_leaves(el.T, eh.T))
+
+    return cached_jit(key, build)(el, eh)
+
+
+def commit_streamed(cl, ch, log_N: int, cap_height: int) -> DeviceTree:
+    """Merkle tree over the LDE leaves of coefficient rows (rows, n), one
+    stride-`blowup` coset at a time (1/blowup peak memory): hash each
+    coset's n leaves, interleave the digests (leaf j = blowup·t + c ↔
+    coset c position t), build layers."""
+    blowup = (1 << log_N) // cl.shape[-1]
+    digs = []
+    for c in range(blowup):
+        el, eh = coset_eval_rows(cl, ch, coset_shift(c, log_N))
+        digs.append(hash_rows_leaves(el, eh))
+    key = ("ilvtree", blowup, cap_height, env_key())
+
+    def build():
+        def fn(digs):
+            lo = jnp.stack([d[0] for d in digs], axis=1).reshape(-1, 4)
+            hi = jnp.stack([d[1] for d in digs], axis=1).reshape(-1, 4)
+            return merkle.layers_from_digests(lo, hi, cap_height)
+
+        return jax.jit(fn)
+
+    return DeviceTree(cached_jit(key, build)(digs), cap_height)
+
+
+def coset_shift(c: int, log_N: int) -> int:
+    """Shift of the c-th stride-`blowup` coset: LDE index j = blowup·t + c
+    is the point g·w_N^c·w_n^t."""
+    return (gl.GENERATOR * pow(_root_of_unity(log_N, inverse=False), c, P)) % P
+
+
+# ---------------------------------------------------------------------------
+# Quotient
+# ---------------------------------------------------------------------------
+
+def quotient_coeffs(acc, zhinv, chunks: int, rate_bits: int):
+    """Composition codeword (4 arrays (N,)) → canonical quotient-chunk
+    coefficient rows (2·chunks, n) + a degree-bound flag (device bool).
+
+    Row layout [Q0.c0, Q0.c1, Q1.c0, ...] matches the round-3 prover."""
+    key = ("quot", chunks, rate_bits, env_key())
+
+    def build():
+        def fn(a0l, a0h, a1l, a1h, zl, zh):
+            n = a0l.shape[0] >> rate_bits
+            q0 = gl.mul(a0l, a0h, zl, zh)
+            q1 = gl.mul(a1l, a1h, zl, zh)
+            qc0 = gl.canonicalize(*coset_intt(*q0))
+            qc1 = gl.canonicalize(*coset_intt(*q1))
+            nn = chunks * n
+            ok = (jnp.all(qc0[0][nn:] == 0) & jnp.all(qc0[1][nn:] == 0)
+                  & jnp.all(qc1[0][nn:] == 0) & jnp.all(qc1[1][nn:] == 0))
+            l0, h0 = qc0[0][:nn].reshape(chunks, n), qc0[1][:nn].reshape(chunks, n)
+            l1, h1 = qc1[0][:nn].reshape(chunks, n), qc1[1][:nn].reshape(chunks, n)
+            ql = jnp.stack([l0, l1], axis=1).reshape(2 * chunks, n)
+            qh = jnp.stack([h0, h1], axis=1).reshape(2 * chunks, n)
+            return ok, (ql, qh)
+
+        return jax.jit(fn)
+
+    return cached_jit(key, build)(*acc, zhinv[0], zhinv[1])
+
+
+# ---------------------------------------------------------------------------
+# DEEP evaluation at ζ / w·ζ
+# ---------------------------------------------------------------------------
+
+def _ext_seed_arrays(pt, log_n: int):
+    """[pt^(2^i)] seeds for the in-trace power-table doubling, as (L,) ext
+    limb arrays (host bigint squarings — log-many tiny values)."""
+    seeds = []
+    cur = pt
+    for _ in range(max(log_n, 1)):
+        seeds.append(cur)
+        cur = ext_py.mul(cur, cur)
+    arr0 = np.array([s[0] for s in seeds], dtype=np.uint64)
+    arr1 = np.array([s[1] for s in seeds], dtype=np.uint64)
+    return ge.from_pair_u64(arr0, arr1)
+
+
+def _table_from_seeds(seeds, count: int):
+    """ζ-power table [ζ^0 .. ζ^(count-1)] by in-trace doubling."""
+    tab = ge.from_pair_u64(np.array([1], dtype=np.uint64),
+                           np.array([0], dtype=np.uint64))
+    i = 0
+    while tab[0].shape[0] < count:
+        s = tuple(jnp.broadcast_to(c[i], tab[0].shape) for c in seeds)
+        tab = tuple(jnp.concatenate([a, b])
+                    for a, b in zip(tab, ge.mul(tab, s)))
+        i += 1
+    return tuple(a[:count] for a in tab)
+
+
+def _dot_rows(cl, ch, tab):
+    """Σ_j coeff[.., j] · tab[j] for base rows (R, n) against an ext table,
+    row-chunked; returns canonical (4, R) limb arrays."""
+    n = cl.shape[-1]
+    CH = max(1, LDE_CHUNK_ELEMS // max(1, 4 * n))
+
+    def reduce_last(pl, ph):
+        while pl.shape[-1] > 1:
+            half = pl.shape[-1] // 2
+            sl, sh = gl.add(pl[..., :half], ph[..., :half],
+                            pl[..., half:2 * half], ph[..., half:2 * half])
+            if pl.shape[-1] % 2:
+                sl = jnp.concatenate([sl, pl[..., -1:]], axis=-1)
+                sh = jnp.concatenate([sh, ph[..., -1:]], axis=-1)
+            pl, ph = sl, sh
+        return pl[..., 0], ph[..., 0]
+
+    outs = []
+    for s in range(0, cl.shape[0], CH):
+        bl, bh = cl[s:s + CH], ch[s:s + CH]
+        e0 = reduce_last(*gl.mul(bl, bh, tab[0], tab[1]))
+        e1 = reduce_last(*gl.mul(bl, bh, tab[2], tab[3]))
+        outs.append((e0, e1))
+    c0 = (jnp.concatenate([o[0][0] for o in outs]),
+          jnp.concatenate([o[0][1] for o in outs]))
+    c1 = (jnp.concatenate([o[1][0] for o in outs]),
+          jnp.concatenate([o[1][1] for o in outs]))
+    c0 = gl.canonicalize(*c0)
+    c1 = gl.canonicalize(*c1)
+    return jnp.stack([c0[0], c0[1], c1[0], c1[1]])
+
+
+def deep_eval_groups(groups, zeta, w_zeta, log_n: int):
+    """Evaluate every coefficient group at ζ and w·ζ in ONE dispatch.
+
+    groups: list of (coeff_l, coeff_h) with shapes (R_i, n).
+    Returns: list (per group) of ([evals at ζ], [evals at w·ζ]) where each
+    eval is an (c0, c1) int pair — exactly the round-3
+    `eval_base_polys_at_ext` outputs, without its ~1,500 eager dispatches.
+    """
+    key = ("deepeval", len(groups), env_key())
+
+    def build():
+        def fn(gs, seeds_z, seeds_wz):
+            n = gs[0][0].shape[-1]
+            tz = _table_from_seeds(seeds_z, n)
+            twz = _table_from_seeds(seeds_wz, n)
+            return [( _dot_rows(cl, ch, tz), _dot_rows(cl, ch, twz))
+                    for (cl, ch) in gs]
+
+        return jax.jit(fn)
+
+    seeds_z = _ext_seed_arrays(zeta, log_n)
+    seeds_wz = _ext_seed_arrays(w_zeta, log_n)
+    outs = cached_jit(key, build)(groups, seeds_z, seeds_wz)
+    result = []
+    for (ez, ewz) in outs:
+        ez = np.asarray(ez, dtype=np.uint64)
+        ewz = np.asarray(ewz, dtype=np.uint64)
+
+        def pairs(e):
+            c0 = e[0] | (e[1] << np.uint64(32))
+            c1 = e[2] | (e[3] << np.uint64(32))
+            return [(int(a), int(b)) for a, b in zip(c0, c1)]
+
+        result.append((pairs(ez), pairs(ewz)))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# DEEP composition codeword
+# ---------------------------------------------------------------------------
+
+def _scalar_bcast(pair_arrs, idx, shape):
+    return tuple(jnp.broadcast_to(a[idx], shape) for a in pair_arrs)
+
+
+def _opened_arrays(pairs):
+    """list[(c0, c1) ints] -> (4, R) uint32 limb arrays (traced input)."""
+    arr0 = np.array([p[0] for p in pairs], dtype=np.uint64)
+    arr1 = np.array([p[1] for p in pairs], dtype=np.uint64)
+    return ge.from_pair_u64(arr0, arr1)
+
+
+def _gamma_powers(gamma4, count: int):
+    one = ge.from_pair_u64(np.uint64(1), np.uint64(0))
+
+    def _step(c, _):
+        return ge.mul(c, gamma4), c
+
+    _, tw = jax.lax.scan(_step, one, None, length=count)
+    return tuple(t.reshape(count) for t in tw)
+
+
+def _ext_dot(weights, vals):
+    """Σ_j weights_j · vals_j for two (4, R)-style ext limb tuples; returns
+    an ext scalar 4-tuple (shapes ())."""
+    prod = ge.mul(weights, vals)
+    # tree-halve along the single axis
+    pl = prod
+    while pl[0].shape[0] > 1:
+        half = pl[0].shape[0] // 2
+        a = tuple(x[:half] for x in pl)
+        b = tuple(x[half:2 * half] for x in pl)
+        s = ge.add(a, b)
+        if pl[0].shape[0] % 2:
+            s = tuple(jnp.concatenate([x, y[-1:]]) for x, y in zip(s, pl))
+        pl = s
+    return tuple(x[0] for x in pl)
+
+
+def _base_group_weighted(cols_l, cols_h, w4, scalar4, inv_den, N: int):
+    """Σ_j w_j (P_j(x) − y_j) · inv_den for base-field columns (B, N):
+    weighted column-sums minus the scalar Σ w_j y_j, times inv_den."""
+    w0l, w0h, w1l, w1h = w4
+    B = cols_l.shape[0]
+    CH = max(1, min(B, (1 << 25) // max(1, N)))
+    s0 = s1 = None
+    for s in range(0, B, CH):
+        e = min(s + CH, B)
+        c0 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                               w0l[s:e, None], w0h[s:e, None]))
+        c1 = _sum_rows(*gl.mul(cols_l[s:e], cols_h[s:e],
+                               w1l[s:e, None], w1h[s:e, None]))
+        s0 = c0 if s0 is None else gl.add(*s0, *c0)
+        s1 = c1 if s1 is None else gl.add(*s1, *c1)
+    diff = ge.sub((*s0, *s1), tuple(
+        jnp.broadcast_to(v, s0[0].shape) for v in scalar4))
+    return ge.mul(diff, inv_den)
+
+
+def _sum_rows(lo, hi):
+    """Field-sum a (B, N) limb array over axis 0 (pairwise tree reduce)."""
+    while lo.shape[0] > 1:
+        half = lo.shape[0] // 2
+        sl, sh = gl.add(lo[:half], hi[:half], lo[half:2 * half],
+                        hi[half:2 * half])
+        if lo.shape[0] % 2:
+            sl = jnp.concatenate([sl, lo[-1:]], axis=0)
+            sh = jnp.concatenate([sh, hi[-1:]], axis=0)
+        lo, hi = sl, sh
+    return lo[0], hi[0]
+
+
+def _deep_L_core(ldes, opened, x_pair, gamma4, zeta4, wzeta4,
+                 W: int, A: int, K: int, chunks: int):
+    """The DEEP codeword on one evaluation set (full domain or one coset).
+
+    ldes: (tr, aux|None, const|None, q) evaluation rows over the set.
+    opened: (tz, tnz, az, anz, kz, qz) traced (4, R) ext limb arrays.
+    All Fiat-Shamir values traced; graph depends only on shapes."""
+    trl, trh = ldes[0]
+    N = trl.shape[-1]
+    xl, xh = x_pair
+    x_ext = (xl, xh, jnp.zeros_like(xl), jnp.zeros_like(xh))
+    inv_x_zeta = ge.inv(ge.sub(x_ext, tuple(
+        jnp.broadcast_to(c, xl.shape) for c in zeta4)))
+    inv_x_wzeta = ge.inv(ge.sub(x_ext, tuple(
+        jnp.broadcast_to(c, xl.shape) for c in wzeta4)))
+
+    n_polys = 2 * W + 2 * A + K + chunks
+    g = _gamma_powers(gamma4, n_polys)
+    tz, tnz, az, anz, kz, qz = opened
+
+    def wslice(s, e):
+        return tuple(x[s:e] for x in g)
+
+    L = ge.zeros(xl.shape)
+    L = ge.add(L, _base_group_weighted(
+        trl, trh, wslice(0, W), _ext_dot(wslice(0, W), tz), inv_x_zeta, N))
+    L = ge.add(L, _base_group_weighted(
+        trl, trh, wslice(W, 2 * W), _ext_dot(wslice(W, 2 * W), tnz),
+        inv_x_wzeta, N))
+    if A:
+        axl, axh = ldes[1]
+        ga = wslice(2 * W, 2 * W + A)
+        gb = wslice(2 * W + A, 2 * W + 2 * A)
+        L = ge.add(L, _base_group_weighted(
+            axl, axh, ga, _ext_dot(ga, az), inv_x_zeta, N))
+        L = ge.add(L, _base_group_weighted(
+            axl, axh, gb, _ext_dot(gb, anz), inv_x_wzeta, N))
+    if K:
+        cll, clh = ldes[2]
+        kg = wslice(2 * W + 2 * A, 2 * W + 2 * A + K)
+        L = ge.add(L, _base_group_weighted(
+            cll, clh, kg, _ext_dot(kg, kz), inv_x_zeta, N))
+    # quotient chunks (extension-valued columns, interleaved c0/c1 rows)
+    q_lde_l, q_lde_h = ldes[3]
+    qg = wslice(2 * W + 2 * A + K, n_polys)
+    qc0l, qc0h = q_lde_l[0::2], q_lde_h[0::2]
+    qc1l, qc1h = q_lde_l[1::2], q_lde_h[1::2]
+    t00 = gl.mul(qc0l, qc0h, qg[0][:, None], qg[1][:, None])
+    t11 = gl.mul(qc1l, qc1h, qg[2][:, None], qg[3][:, None])
+    t01 = gl.mul(qc1l, qc1h, qg[0][:, None], qg[1][:, None])
+    t10 = gl.mul(qc0l, qc0h, qg[2][:, None], qg[3][:, None])
+    s_c0 = _sum_rows(*gl.add(*t00, *gl.mul_small(*t11, ge.W)))
+    s_c1 = _sum_rows(*gl.add(*t01, *t10))
+    qscalar = _ext_dot(qg, qz)
+    qdiff = ge.sub((*s_c0, *s_c1), tuple(
+        jnp.broadcast_to(v, s_c0[0].shape) for v in qscalar))
+    L = ge.add(L, ge.mul(qdiff, inv_x_zeta))
+    return L
+
+
+def deep_compose(ldes, opened_pairs, gamma, zeta, w_zeta,
+                 W: int, A: int, K: int, chunks: int, log_N: int):
+    """Full-domain DEEP codeword, one dispatch.  `ldes` as in
+    `_deep_L_core` (device LDE rows over the length-2^log_N domain);
+    `opened_pairs` are the transcript-opened int pairs."""
+    key = ("deepL", W, A, K, chunks, env_key())
+
+    def build():
+        def fn(ldes, opened, x_pair, gamma4, zeta4, wzeta4):
+            return _deep_L_core(ldes, opened, x_pair, gamma4, zeta4,
+                                wzeta4, W, A, K, chunks)
+
+        return jax.jit(fn)
+
+    x_pair = domain_x(log_N, gl.GENERATOR)
+    args = _deep_args(opened_pairs, gamma, zeta, w_zeta, W, A, K, chunks)
+    return cached_jit(key, build)(ldes, args[0], x_pair, *args[1:])
+
+
+def deep_compose_coset(coeffs, opened_pairs, gamma, zeta, w_zeta,
+                       W: int, A: int, K: int, chunks: int,
+                       log_N: int, c: int):
+    """Streamed variant: evaluate the groups on stride-`blowup` coset `c`
+    and form the DEEP codeword there, in one dispatch per coset."""
+    key = ("deepLc", W, A, K, chunks, env_key())
+    n = int(coeffs[0][0].shape[-1])
+    log_n = n.bit_length() - 1
+    tl, th = shift_table(coset_shift(c, log_N), n)
+    wt = shift_table(_root_of_unity(log_n, inverse=False), n)
+    s = coset_shift(c, log_N)
+    s_pair = (jnp.uint32(s & 0xFFFFFFFF), jnp.uint32(s >> 32))
+
+    def build():
+        def fn(coeffs, opened, tl, th, wt_l, wt_h, s_l, s_h,
+               gamma4, zeta4, wzeta4):
+            def ev(group):
+                if group is None:
+                    return None
+                cl, ch = group
+
+                def one(a, b):
+                    sl, sh = gl.mul(a, b, tl, th)
+                    return ntt(sl, sh)
+
+                return rows_chunked(one, cl, ch, cl.shape[-1])
+
+            ldes = tuple(ev(g) for g in coeffs)
+            x_pair = gl.mul(wt_l, wt_h, s_l, s_h)
+            return _deep_L_core(ldes, opened, x_pair, gamma4, zeta4,
+                                wzeta4, W, A, K, chunks)
+
+        return jax.jit(fn)
+
+    args = _deep_args(opened_pairs, gamma, zeta, w_zeta, W, A, K, chunks)
+    return cached_jit(key, build)(coeffs, args[0], tl, th, wt[0], wt[1],
+                                  *s_pair, *args[1:])
+
+
+def _deep_args(opened_pairs, gamma, zeta, w_zeta, W, A, K, chunks):
+    tz, tnz, az, anz, kz, qz = opened_pairs
+    empty = ge.from_pair_u64(np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+    opened = (_opened_arrays(tz), _opened_arrays(tnz),
+              _opened_arrays(az) if A else empty,
+              _opened_arrays(anz) if A else empty,
+              _opened_arrays(kz) if K else empty,
+              _opened_arrays(qz))
+
+    def scal(pair):
+        return ge.from_pair_u64(np.uint64(pair[0]), np.uint64(pair[1]))
+
+    return opened, scal(gamma), scal(zeta), scal(w_zeta)
+
+
+# ---------------------------------------------------------------------------
+# FRI: fused fold + commit per layer
+# ---------------------------------------------------------------------------
+
+def fri_commit_layer(c, cur_log: int, cap_height: int) -> DeviceTree:
+    """Commit to an extension codeword's pair-leaves (v[i], v[i+N/2])."""
+    key = ("fricommit", cap_height, env_key())
+
+    def build():
+        def fn(c):
+            c0l, c0h, c1l, c1h = c
+            h = c0l.shape[0] // 2
+            lo = jnp.stack([c0l[:h], c1l[:h], c0l[h:], c1l[h:]], axis=1)
+            hi = jnp.stack([c0h[:h], c1h[:h], c0h[h:], c1h[h:]], axis=1)
+            return merkle.build_layers(lo, hi, cap_height)
+
+        return jax.jit(fn)
+
+    return DeviceTree(cached_jit(key, build)(c),
+                      cap_height)
+
+
+def fri_fold(c, beta, cur_log: int, cur_shift: int):
+    """One arity-2 fold: v'[i] = (v[i]+v[i+H])/2 + β·(v[i]−v[i+H])/(2·x_i).
+
+    The w^{-i} table arrives as a cached device constant (traced input), so
+    the per-layer graph stays a few KB instead of baking an N/2-point table
+    into the HLO."""
+    key = ("frifold", cur_log, cur_shift, env_key())
+    w_inv = pow(_root_of_unity(cur_log, inverse=False), P - 2, P)
+    til, tih = shift_table(w_inv, 1 << (cur_log - 1))
+
+    def build():
+        inv2s = pow(2 * cur_shift, P - 2, P)
+        half = pow(2, P - 2, P)
+
+        def fn(c, beta4, til, tih):
+            c0l, c0h, c1l, c1h = c
+            n = c0l.shape[0]
+            h = n // 2
+            a = (c0l[:h], c0h[:h], c1l[:h], c1h[:h])
+            b = (c0l[h:], c0h[h:], c1l[h:], c1h[h:])
+            s = ge.add(a, b)
+            d = ge.sub(a, b)
+            xl, xh = gl.mul(til, tih,
+                            jnp.uint32(inv2s & 0xFFFFFFFF),
+                            jnp.uint32(inv2s >> 32))
+            fo = ge.mul_base(d, xl, xh)
+            t = ge.mul(fo, tuple(jnp.broadcast_to(x, fo[0].shape)
+                                 for x in beta4))
+            fe = ge.mul_base(s, jnp.uint32(half & 0xFFFFFFFF),
+                             jnp.uint32(half >> 32))
+            return ge.add(fe, t)
+
+        return jax.jit(fn)
+
+    beta4 = ge.from_pair_u64(np.uint64(beta[0]), np.uint64(beta[1]))
+    return cached_jit(key, build)(c, beta4, til, tih)
+
+
+def fri_final_coeffs(c, cur_shift: int, final_len: int):
+    """Interpolate the last codeword; returns (ok, [(c0, c1)] coeffs) with
+    `ok` asserting everything above final_len vanishes."""
+    key = ("frifinal", cur_shift, final_len, env_key())
+
+    def build():
+        def fn(c):
+            f0 = gl.canonicalize(*coset_intt(c[0], c[1], shift=cur_shift))
+            f1 = gl.canonicalize(*coset_intt(c[2], c[3], shift=cur_shift))
+            ok = (jnp.all(f0[0][final_len:] == 0)
+                  & jnp.all(f0[1][final_len:] == 0)
+                  & jnp.all(f1[0][final_len:] == 0)
+                  & jnp.all(f1[1][final_len:] == 0))
+            return ok, jnp.stack([f0[0][:final_len], f0[1][:final_len],
+                                  f1[0][:final_len], f1[1][:final_len]])
+
+        return jax.jit(fn)
+
+    ok, coef = cached_jit(key, build)(c)
+    coef = np.asarray(coef, dtype=np.uint64)
+    c0 = coef[0] | (coef[1] << np.uint64(32))
+    c1 = coef[2] | (coef[3] << np.uint64(32))
+    return bool(ok), [(int(a), int(b)) for a, b in zip(c0, c1)]
+
+
+# ---------------------------------------------------------------------------
+# Proof-of-work grind (device-batched, tiny transfers)
+# ---------------------------------------------------------------------------
+
+def grind(challenger, pow_bits: int) -> int:
+    """Find a nonce whose transcript response has pow_bits leading zeros.
+    Consumes (observe nonce + one challenge) exactly as the verifier
+    replays.  One batched Poseidon dispatch per 2^17 candidates; only the
+    12-lane base state and a pair of scalars cross the tunnel."""
+    if pow_bits == 0:
+        challenger.observe(0)
+        challenger.get_challenge()
+        return 0
+    assert pow_bits <= 32
+    k = len(challenger.input_buf)
+    base = list(challenger.state)
+    base[:k] = challenger.input_buf
+    batch = 1 << min(pow_bits + 2, 17)
+    key = ("grind", k, pow_bits, batch, env_key())
+
+    def build():
+        def fn(sl, sh, start):
+            nonces = start + jnp.arange(batch, dtype=jnp.uint32)
+            stl = jnp.broadcast_to(sl, (batch, poseidon.WIDTH))
+            sth = jnp.broadcast_to(sh, (batch, poseidon.WIDTH))
+            stl = stl.at[:, k].set(nonces)
+            sth = sth.at[:, k].set(0)
+            ol, oh = poseidon.permute(stl, sth)
+            cl, chh = gl.canonicalize(ol[:, poseidon.RATE - 1],
+                                      oh[:, poseidon.RATE - 1])
+            if pow_bits == 32:
+                hit = chh == 0
+            else:
+                hit = (chh >> (32 - pow_bits)) == 0
+            found = jnp.any(hit)
+            idx = jnp.argmax(hit)
+            return found, nonces[idx]
+
+        return jax.jit(fn)
+
+    fn = cached_jit(key, build)
+    sl, sh = gl.from_u64(np.array(base, dtype=np.uint64))
+    start = 0
+    while True:
+        found, nonce = fn(sl, sh, jnp.uint32(start))
+        if bool(found):
+            nonce = int(nonce)
+            challenger.observe(nonce)
+            response = challenger.get_challenge()
+            assert (response >> (64 - pow_bits)) == 0
+            return nonce
+        start += batch
+        assert start < (1 << 32), "grind exhausted 32-bit nonce space"
+
+
+# ---------------------------------------------------------------------------
+# Bulk query openings
+# ---------------------------------------------------------------------------
+
+def _take4(layer, idx):
+    lo, hi = layer
+    return gl.canonicalize(jnp.take(lo, idx, axis=0),
+                           jnp.take(hi, idx, axis=0))
+
+
+def open_positions(indices, leaf_groups, trees, fri_layers):
+    """Gather every queried leaf + Merkle path in ONE dispatch.
+
+    indices: Python ints (Q query positions into the length-N domain).
+    leaf_groups: list of (lde_l, lde_h) — (R, N) committed rows whose
+        columns are the tree leaves (pass [] on the streamed path, which
+        recomputes leaves per coset).
+    trees: list of DeviceTree (same order as leaf_groups, or standalone).
+    fri_layers: list of (codeword 4-tuple, DeviceTree) per fold layer;
+        query index folds as i ← i mod h between layers.
+
+    Returns (group_leaves, group_paths, fri_pairs, fri_paths) as nested
+    Python int lists, already canonical u64.
+    """
+    key = ("open", len(indices), len(leaf_groups), len(trees),
+           len(fri_layers), env_key())
+
+    def build():
+        def fn(idx, leaf_groups, tree_layers, fri):
+            out_leaves = []
+            for (ll, lh) in leaf_groups:
+                out_leaves.append(gl.canonicalize(
+                    jnp.take(ll, idx, axis=1), jnp.take(lh, idx, axis=1)))
+            out_paths = []
+            for layers in tree_layers:
+                cur = idx
+                sibs = []
+                for layer in layers[:-1]:
+                    sibs.append(_take4(layer, cur ^ 1))
+                    cur = cur >> 1
+                out_paths.append(sibs)
+            fri_pairs = []
+            fri_paths = []
+            cur = idx
+            for (cw, layers) in fri:
+                c0l, c0h, c1l, c1h = cw
+                h = c0l.shape[0] // 2
+                i = jnp.remainder(cur, h)
+                p0 = gl.canonicalize(jnp.take(c0l, i), jnp.take(c0h, i))
+                p1 = gl.canonicalize(jnp.take(c1l, i), jnp.take(c1h, i))
+                p2 = gl.canonicalize(jnp.take(c0l, i + h), jnp.take(c0h, i + h))
+                p3 = gl.canonicalize(jnp.take(c1l, i + h), jnp.take(c1h, i + h))
+                fri_pairs.append((p0, p1, p2, p3))
+                sibs = []
+                cur2 = i
+                for layer in layers[:-1]:
+                    sibs.append(_take4(layer, cur2 ^ 1))
+                    cur2 = cur2 >> 1
+                fri_paths.append(sibs)
+                cur = i
+            return out_leaves, out_paths, fri_pairs, fri_paths
+
+        return jax.jit(fn)
+
+    idx = jnp.asarray(np.array(indices, dtype=np.int32))
+    res = cached_jit(key, build)(
+        idx, leaf_groups, [t.layers for t in trees],
+        [(cw, t.layers) for (cw, t) in fri_layers])
+    leaves_d, paths_d, fripairs_d, fripaths_d = jax.device_get(res)
+
+    def u64(pair):
+        lo = np.asarray(pair[0], dtype=np.uint64)
+        hi = np.asarray(pair[1], dtype=np.uint64)
+        return lo | (hi << np.uint64(32))
+
+    group_leaves = [u64(g) for g in leaves_d]          # (R, Q) each
+    group_paths = [[u64(s) for s in sibs] for sibs in paths_d]  # (Q,4)/lvl
+    fri_pairs = [tuple(u64(p) for p in pr) for pr in fripairs_d]
+    fri_paths = [[u64(s) for s in sibs] for sibs in fripaths_d]
+    return group_leaves, group_paths, fri_pairs, fri_paths
