@@ -122,3 +122,78 @@ def test_justification_device_backend():
         verify_simple_justification(j, 17, chain.get_block_hash(17), 1,
                                     chained_hash(chain.era_pubkeys(1)),
                                     signature_backend="device")
+
+
+def test_msm_matches_host_oracle():
+    """Pippenger MSM == host Σ[s_i]P_i (small window keeps the CPU-test
+    compile cheap; the window size only re-buckets, never changes math)."""
+    import numpy as np
+
+    from vectorx_tpu.curves import ed25519 as host
+
+    rng = np.random.default_rng(5)
+    n = 5
+    scalars = [int.from_bytes(rng.bytes(32), "little") % host.L
+               for _ in range(n)]
+    scalars[0] = 0                      # weight-0 digits everywhere
+    pts = [host.scalar_mult(int(rng.integers(1, 1 << 30)), host.B_POINT)
+           for _ in range(n)]
+    acc = (0, 1, 1, 0)
+    for s, p in zip(scalars, pts):
+        acc = host.point_add(acc, host.scalar_mult(s, p))
+    want = host.point_compress(acc)
+
+    pts_dev = tuple(dev.from_ints([p[c] for p in pts]) for c in range(4))
+    got = dev.msm(scalars, pts_dev, w=4)
+    x, y, z, _t = [dev.to_ints(a[None, :])[0] for a in got]
+    zi = pow(z, host.Q - 2, host.Q)
+    gx, gy = x * zi % host.Q, y * zi % host.Q
+    assert host.point_compress((gx, gy, 1, gx * gy % host.Q)) == want
+
+
+def test_batch_verify_msm_method():
+    pks, msgs, sigs = _make_sigs(4)
+    import vectorx_tpu.curves.ed25519_batch as eb
+
+    old = eb.MSM_WINDOW
+    eb.MSM_WINDOW = 4                   # small buckets: cheap CPU compile
+    try:
+        assert dev.batch_verify(pks, msgs, sigs, method="msm")
+        bad = list(sigs)
+        bad[1] = bad[1][:32] + bytes(31) + b"\x01"
+        assert not dev.batch_verify(pks, msgs, bad, method="msm")
+    finally:
+        eb.MSM_WINDOW = old
+
+
+def test_msm_sharded_matches_single_device():
+    """Per-chip bucket sharding over the test mesh == unsharded MSM."""
+    import jax
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    from vectorx_tpu.curves import ed25519 as host
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pts",))
+    rng = np.random.default_rng(9)
+    n = 6
+    scalars = [int.from_bytes(rng.bytes(32), "little") % host.L
+               for _ in range(n)]
+    pts = [host.scalar_mult(int(rng.integers(1, 1 << 30)), host.B_POINT)
+           for _ in range(n)]
+    pts_dev = tuple(dev.from_ints([p[c] for p in pts]) for c in range(4))
+    single = dev.msm(scalars, pts_dev, w=4)
+    sharded = dev.msm_sharded(mesh, "pts", scalars, pts_dev, w=4)
+    sx = dev.to_ints(single[0][None, :])[0], dev.to_ints(single[1][None, :])[0], dev.to_ints(single[2][None, :])[0]
+    hx = dev.to_ints(sharded[0][None, :])[0], dev.to_ints(sharded[1][None, :])[0], dev.to_ints(sharded[2][None, :])[0]
+
+    def affine(x, y, z):
+        zi = pow(z, host.Q - 2, host.Q)
+        return x * zi % host.Q, y * zi % host.Q
+
+    assert affine(*sx) == affine(*hx)

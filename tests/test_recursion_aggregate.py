@@ -61,3 +61,33 @@ def test_aggregate_rejects_tampered_outer_proof():
         (bad.fri_proof.final_coeffs[0][0] + 1) % P,
         bad.fri_proof.final_coeffs[0][1])
     assert not aggregate_verify(_children(), bad, CFG)
+
+
+def test_stripped_witness_program_matches_statement_rebuild():
+    """Soundness of the machine-VK cache seed (aggregate.strip_witness):
+    the witness-mode program minus its value assignment must equal the
+    statement-mode rebuild bit for bit — items, reads, publics, rows."""
+    from vectorx_tpu.recursion.aggregate import (_build_tape, compile_tape,
+                                                 strip_witness)
+
+    stripped = strip_witness(AGG.machine_air.program)
+    b, _ = _build_tape(_children(), CFG, proofs=None)
+    rebuilt = compile_tape(b)
+    assert stripped.n_rows == rebuilt.n_rows
+    assert stripped.publics == rebuilt.publics
+    assert stripped.reads == rebuilt.reads
+    assert stripped.items == rebuilt.items
+    assert stripped.values is None and not stripped.witness
+
+
+def test_aggregate_verify_uses_vk_cache(monkeypatch):
+    """A cache hit must skip the host tape re-derivation entirely (the
+    round-3 92 s/verify cost) and still verify; a statement set that
+    misses the cache still rebuilds and rejects."""
+    from vectorx_tpu.recursion import aggregate as agg
+
+    def boom(*a, **k):
+        raise AssertionError("tape re-derivation ran despite cache hit")
+
+    monkeypatch.setattr(agg, "_build_tape", boom)
+    assert agg.aggregate_verify(_children(), AGG.proof, CFG)

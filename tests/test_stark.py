@@ -51,11 +51,11 @@ def test_rejects_tampered_opening():
 def test_chunked_lde_bit_exact(monkeypatch):
     """Row-chunked LDE (the wide-trace HBM bound) is bit-identical to the
     full-width transform: same caps, same openings, verifies."""
-    from vectorx_tpu.stark import prover as prover_mod
+    from vectorx_tpu.stark import stages
 
     air = FibonacciAir(log_n=4)
     full = prove(air, air.build_trace(), CFG)
-    monkeypatch.setattr(prover_mod, "LDE_CHUNK_ELEMS", 1 << 7)
+    monkeypatch.setattr(stages, "LDE_CHUNK_ELEMS", 1 << 7)
     chunked = prove(air, air.build_trace(), CFG)
     assert full.trace_cap == chunked.trace_cap
     assert full.quotient_cap == chunked.quotient_cap

@@ -58,6 +58,7 @@ from vectorx_tpu.circuits.zk_justification import (MAX_LADDER_ROWS,
                                                    _sha512_rows)
 from vectorx_tpu.curves.ed25519 import L as ED_L
 from vectorx_tpu.io.abi import HeaderRangeInput, HeaderRangeOutput
+from vectorx_tpu.recursion import progcache
 from vectorx_tpu.recursion.machine import MachineAir, compile_tape
 from vectorx_tpu.recursion.shadow import verifier_tape
 from vectorx_tpu.recursion.ssa import Affine, Builder, TapeCheckFailed
@@ -401,6 +402,22 @@ def _range_tape(b: Builder, stmt, cfg, cursor, headers):
                                       for v in air.public_inputs()])
 
 
+def _stmt_prog_key(stmt, config: StarkConfig) -> str:
+    """Content address of the statement-mode machine program: every input
+    the verifier's own tape derivation reads (recursion/progcache.py)."""
+    f = config.fri
+    return progcache.digest_key(
+        "succinct_header_range",
+        f.rate_bits, f.cap_height, f.num_queries, f.final_poly_len,
+        f.pow_bits,
+        stmt["inp"].encode(), stmt["out"].encode(),
+        stmt["header_lens"], stmt["tree_size"],
+        stmt["signed_message"], list(stmt["pubkeys"]),
+        list(stmt["signatures"]),
+        [bool(x) for x in stmt["validator_signed"]],
+        stmt["num_authorities"], list(stmt["challenge_digests"]))
+
+
 def _statement(input_bytes, output_bytes, header_lens, tree_size,
                justification_fields) -> dict:
     inp = HeaderRangeInput.decode(input_bytes)
@@ -518,8 +535,11 @@ def prove_header_range_succinct(fetcher, input_bytes: bytes,
     # ---- the ONE machine proof --------------------------------------------
     b = Builder(witness=True)
     _range_tape(b, stmt, config, _ProofCursor(proofs), headers)
-    mair = MachineAir(compile_tape(b))
+    prog = compile_tape(b)
+    mair = MachineAir(prog)
     machine_proof = prove(mair, mair.build_trace(), outer_config)
+    # seed the machine-VK cache so the first verify skips tape re-derivation
+    progcache.put(_stmt_prog_key(stmt, config), prog)
     return SuccinctHeaderRangeProof(
         input_bytes=input_bytes, output_bytes=output_bytes,
         header_lens=stmt["header_lens"], tree_size=tree_size,
@@ -578,9 +598,14 @@ def verify_header_range_succinct(
              "validator_signed": p.validator_signed,
              "num_authorities": p.num_authorities,
              "challenge_digests": p.challenge_digests})
-        b = Builder(witness=False)
-        _range_tape(b, stmt, config, _ProofCursor(None), None)
-        mair = MachineAir(compile_tape(b))
+
+        def _rebuild():
+            b = Builder(witness=False)
+            _range_tape(b, stmt, config, _ProofCursor(None), None)
+            return compile_tape(b)
+
+        mair = MachineAir(progcache.cached_program(
+            _stmt_prog_key(stmt, config), _rebuild))
     except (TapeCheckFailed, Exception):
         return False
     try:

@@ -44,6 +44,7 @@ from vectorx_tpu.circuits.succinct_header_range import (
 from vectorx_tpu.circuits.zk_commitment import chunk_by_rows
 from vectorx_tpu.curves.ed25519 import L as ED_L
 from vectorx_tpu.io.abi import RotateInput, RotateOutput
+from vectorx_tpu.recursion import progcache
 from vectorx_tpu.recursion.machine import MachineAir, compile_tape
 from vectorx_tpu.recursion.shadow import verifier_tape
 from vectorx_tpu.recursion.ssa import Affine, Builder, TapeCheckFailed
@@ -198,6 +199,24 @@ def _rotate_tape(b: Builder, stmt, cfg, cursor, header):
                                       for v in air.public_inputs()])
 
 
+def _stmt_prog_key(stmt, config: StarkConfig) -> str:
+    """Content address of the statement-mode machine program: every input
+    the verifier's own tape derivation reads (recursion/progcache.py)."""
+    f = config.fri
+    return progcache.digest_key(
+        "succinct_rotate",
+        f.rate_bits, f.cap_height, f.num_queries, f.final_poly_len,
+        f.pow_bits,
+        stmt["inp"].encode(), stmt["out"].encode(),
+        stmt["epoch_end_block"], stmt["header_len"],
+        stmt["start_position"], stmt["len_prefix_consumed"],
+        stmt["num_authorities"], list(stmt["new_pubkeys"]),
+        stmt["signed_message"], list(stmt["pubkeys"]),
+        list(stmt["signatures"]),
+        [bool(x) for x in stmt["validator_signed"]],
+        stmt["just_num_authorities"], list(stmt["challenge_digests"]))
+
+
 def _statement(input_bytes, output_bytes, meta: dict) -> dict:
     inp = RotateInput.decode(input_bytes)
     out = RotateOutput.decode(output_bytes)
@@ -289,8 +308,11 @@ def prove_rotate_succinct(fetcher, input_bytes: bytes,
     # ---- the ONE machine proof --------------------------------------------
     b = Builder(witness=True)
     _rotate_tape(b, stmt, config, _ProofCursor(proofs), header)
-    mair = MachineAir(compile_tape(b))
+    prog = compile_tape(b)
+    mair = MachineAir(prog)
     machine_proof = prove(mair, mair.build_trace(), outer_config)
+    # seed the machine-VK cache so the first verify skips tape re-derivation
+    progcache.put(_stmt_prog_key(stmt, config), prog)
     return SuccinctRotateProof(
         input_bytes=input_bytes, output_bytes=out.encode(),
         machine_proof=machine_proof,
@@ -352,9 +374,14 @@ def verify_rotate_succinct(proof: SuccinctRotateProof,
             "validator_signed": p.validator_signed,
             "just_num_authorities": p.just_num_authorities,
             "challenge_digests": p.challenge_digests})
-        b = Builder(witness=False)
-        _rotate_tape(b, stmt, config, _ProofCursor(None), None)
-        mair = MachineAir(compile_tape(b))
+
+        def _rebuild():
+            b = Builder(witness=False)
+            _rotate_tape(b, stmt, config, _ProofCursor(None), None)
+            return compile_tape(b)
+
+        mair = MachineAir(progcache.cached_program(
+            _stmt_prog_key(stmt, config), _rebuild))
     except (TapeCheckFailed, Exception):
         return False
     try:

@@ -24,12 +24,14 @@ Field arithmetic: GF(2^255 − 19) as 16 × 16-bit limbs in uint32 lanes
 from __future__ import annotations
 
 import contextlib
+import functools
 import hashlib
 import secrets
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.shard_map import shard_map
 
 from vectorx_tpu.curves import ed25519 as host
 
@@ -245,6 +247,179 @@ def _reduce_points(p):
 
 
 # ---------------------------------------------------------------------------
+# Pippenger MSM — bucketed multi-scalar multiplication
+# ---------------------------------------------------------------------------
+# Σ_i [s_i]P_i via windowed buckets, shaped for the TPU's fixed-shape SIMD
+# model rather than the CPU's pointer-chasing bucket lists (reference
+# semantics: curta's 300-sig EdDSA batch,
+# /root/reference/circuits/builder/justification.rs:237-243):
+#
+#   1. every (point i, window k) pair becomes one element keyed by
+#      key = k·2^w + digit_{i,k} — ALL windows bucket in one pass;
+#   2. one argsort groups equal buckets; a log-depth SEGMENTED Hillis-
+#      Steele scan with `point_add` folds each bucket's run, and the
+#      run-ends scatter into the (K, 2^w) bucket table — ~log2(N·K)
+#      batched point-adds total, no data-dependent control flow;
+#   3. Σ_d d·B_d per window via a batched suffix scan over the bucket
+#      axis (2^w − 1 steps, each a (K,)-wide point-add);
+#   4. Horner over windows: w doublings + 1 add per window.
+#
+# Work: ~log2(NK)·NK + 2^w·K + w·K point-adds vs the ladder's 2·253·N —
+# the crossover against `scalar_mult_batched` is measured in
+# evidence/drive_msm.py (BASELINE north-star metric #2 partner).
+
+MSM_WINDOW = 8                       # digits per window; 2^w buckets
+
+
+def _digits_host(scalars: list[int], w: int, k: int) -> np.ndarray:
+    """(N, K) little-endian w-bit digits."""
+    out = np.zeros((len(scalars), k), dtype=np.uint32)
+    mask = (1 << w) - 1
+    for i, s in enumerate(scalars):
+        for j in range(k):
+            out[i, j] = (s >> (w * j)) & mask
+    return out
+
+
+def _point_shift(p, j, batch_shape):
+    """Shift points right by j along axis 0, front-filled with identity."""
+    ident = point_identity((j,))
+    return tuple(jnp.concatenate([iv, a[:-j]], axis=0)
+                 for iv, a in zip(ident, p))
+
+
+def _segmented_bucket_sums(keys, points, n_buckets: int):
+    """Inclusive segmented scan + run-end scatter: bucket b gets the sum of
+    all points whose (sorted) key is b.  Buckets with no members hold the
+    identity."""
+    m = keys.shape[0]
+    order = jnp.argsort(keys)
+    keys = jnp.take(keys, order)
+    acc = tuple(jnp.take(a, order, axis=0) for a in points)
+    j = 1
+    while j < m:
+        shifted = _point_shift(acc, j, (m,))
+        same = jnp.concatenate([jnp.zeros(j, bool), keys[j:] == keys[:-j]])
+        acc = point_select(same, point_add(acc, shifted), acc)
+        j <<= 1
+    run_end = jnp.concatenate([keys[:-1] != keys[1:],
+                               jnp.ones(1, bool)])
+    # scatter run-end sums into the bucket table; non-run-ends go to a
+    # trash slot (unique keys at run ends ⇒ no collisions)
+    idx = jnp.where(run_end, keys, n_buckets)
+    bx, by, bz, bt = point_identity((n_buckets + 1,))
+    buckets = (bx.at[idx].set(acc[0]), by.at[idx].set(acc[1]),
+               bz.at[idx].set(acc[2]), bt.at[idx].set(acc[3]))
+    return tuple(a[:n_buckets] for a in buckets)
+
+
+def _weighted_bucket_reduce(buckets, k: int, nb: int):
+    """Per window: Σ_d d·B_d = Σ_j suffix_j where suffix_j = Σ_{d≥j} B_d.
+    One (K,)-batched point-add per bucket index, as a lax.scan so the
+    graph stays O(1) in 2^w."""
+    # scan d = nb−1 .. 1 (bucket 0 is weight-0 and was keyed to trash)
+    seq = tuple(a.reshape(k, nb, NLIMB)[:, :0:-1].swapaxes(0, 1)
+                for a in buckets)                          # (nb−1, K, 16)
+
+    def step(carry, bucket_d):
+        suffix, total = carry
+        suffix = point_add(suffix, bucket_d)
+        total = point_add(total, suffix)
+        return (suffix, total), None
+
+    ident = point_identity((k,))
+    (_, total), _ = jax.lax.scan(step, (ident, ident), seq)
+    return total                                           # (K, 16) coords
+
+
+def _horner_windows(window_sums, w: int):
+    """S = Σ_k 2^{wk}·S_k, highest window first: w doublings + 1 add/step."""
+    rev = tuple(a[::-1] for a in window_sums)
+
+    def step(acc, win):
+        for _ in range(w):
+            acc = point_add(acc, acc)
+        return point_add(acc, win), None
+
+    init = tuple(a[0] for a in point_identity((1,)))
+    acc, _ = jax.lax.scan(step, init, rev)
+    return acc
+
+
+def msm(scalars: list[int], points, w: int = MSM_WINDOW):
+    """Pippenger MSM: Σ_i [s_i]P_i (points as 4×(N, 16) device limbs).
+    Returns one extended point (4×(16,) limbs, semi-reduced)."""
+    assert len(scalars) == points[0].shape[0]
+    nbits = max(253, max((s.bit_length() for s in scalars), default=1))
+    k = (nbits + w - 1) // w
+    nb = 1 << w
+    digits = _digits_host(scalars, w, k)                 # (N, K)
+    keys_np = (np.arange(k, dtype=np.uint32)[None, :] * nb
+               + digits).reshape(-1)
+    # digit 0 buckets are weight-0: point them at the trash slot up front
+    keys_np = np.where(digits.reshape(-1) == 0,
+                       np.uint32(k * nb), keys_np)
+    flat = tuple(jnp.repeat(a, k, axis=0) for a in points)  # (N·K, 16)
+    return _msm_kernel(jnp.asarray(keys_np), flat, w, k, nb)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _msm_kernel(keys, flat_points, w, k, nb):
+    buckets = _segmented_bucket_sums(keys, flat_points, k * nb)
+    window_sums = _weighted_bucket_reduce(buckets, k, nb)
+    return _horner_windows(window_sums, w)
+
+
+def msm_sharded(mesh, axis: str, scalars: list[int], points,
+                w: int = MSM_WINDOW):
+    """Per-chip bucket sharding: each device Pippenger-reduces its point
+    shard (digit→bucket→window sums locally), the tiny (K, 16) window sums
+    all-gather over ICI, and the cross-chip fold + Horner run replicated —
+    point addition is not componentwise, so the combine is an explicit
+    gather + fold rather than a psum."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    n = points[0].shape[0]
+    ndev = mesh.shape[axis]
+    pad = (-n) % ndev
+    if pad:
+        ident = point_identity((pad,))
+        points = tuple(jnp.concatenate([a, b], axis=0)
+                       for a, b in zip(points, ident))
+        scalars = list(scalars) + [0] * pad
+    nbits = 253
+    k = (nbits + w - 1) // w
+    nb = 1 << w
+    digits = _digits_host(scalars, w, k)
+    keys_np = (np.arange(k, dtype=np.uint32)[None, :] * nb
+               + digits).reshape(len(scalars), k)
+    keys_np = np.where(digits == 0, np.uint32(k * nb), keys_np)
+
+    sh = NamedSharding(mesh, P_(axis))
+    keys_d = jax.device_put(jnp.asarray(keys_np), sh)
+    pts_d = tuple(jax.device_put(a, sh) for a in points)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P_(axis), (P_(axis),) * 4), out_specs=P_(),
+        check_rep=False)
+    def local_sums(keys_shard, pts_shard):
+        flat = tuple(jnp.repeat(a, k, axis=0) for a in pts_shard)
+        buckets = _segmented_bucket_sums(keys_shard.reshape(-1), flat,
+                                         k * nb)
+        wsums = _weighted_bucket_reduce(buckets, k, nb)   # (K, 16)
+        gathered = tuple(
+            jax.lax.all_gather(a, axis) for a in wsums)   # (D, K, 16)
+        acc = tuple(a[0] for a in gathered)
+        for d in range(1, ndev):
+            acc = point_add(acc, tuple(a[d] for a in gathered))
+        return acc
+
+    wsums = local_sums(keys_d, pts_d)
+    return jax.jit(_horner_windows, static_argnums=1)(wsums, w)
+
+
+# ---------------------------------------------------------------------------
 # batched verification
 # ---------------------------------------------------------------------------
 
@@ -255,10 +430,14 @@ def _bits_msb(x: int, width: int = 253) -> list[int]:
 def batch_verify(pubkeys: list[bytes], msgs: list[bytes],
                  signatures: list[bytes],
                  signed_mask: list[bool] | None = None,
-                 rng=None) -> bool:
+                 rng=None, method: str = "ladder") -> bool:
     """Conditional batched verification (curta_eddsa_verify_sigs_conditional
     semantics): signatures where mask is False are skipped; returns True iff
-    every masked-in signature verifies."""
+    every masked-in signature verifies.
+
+    `method`: "ladder" = one batched double-and-add over all 2n+1 points;
+    "msm" = the Pippenger bucket pipeline (crossover measured in
+    evidence/drive_msm.py)."""
     n = len(pubkeys)
     signed_mask = signed_mask or [True] * n
     idxs = [i for i in range(n) if signed_mask[i]]
@@ -293,15 +472,18 @@ def batch_verify(pubkeys: list[bytes], msgs: list[bytes],
         neg.append(((Q - x) % Q, y, zc, (Q - t) % Q))
     points = neg + [points[-1]]
 
-    # device: one ladder + reduction
-    N = len(points)
+    # device: one ladder + reduction, or the Pippenger bucket pipeline
+    pts_dev = (from_ints([p[0] for p in points]),
+               from_ints([p[1] for p in points]),
+               from_ints([p[2] for p in points]),
+               from_ints([p[3] for p in points]))
+    if method == "msm":
+        total = msm(scalars, pts_dev)
+        return bool(jax.device_get(is_identity(
+            tuple(a[None, :] for a in total))[0]))
     bits = np.array([_bits_msb(s) for s in scalars], dtype=np.uint32)
-    px = from_ints([p[0] for p in points])
-    py = from_ints([p[1] for p in points])
-    pz = from_ints([p[2] for p in points])
-    pt = from_ints([p[3] for p in points])
     with _no_persistent_cache():
-        result = _verify_kernel(jnp.asarray(bits), (px, py, pz, pt))
+        result = _verify_kernel(jnp.asarray(bits), pts_dev)
     return bool(jax.device_get(result))
 
 

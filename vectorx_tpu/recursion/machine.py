@@ -540,6 +540,13 @@ class MachineAir(Air):
     reduce node verifies two child proofs in-circuit) and
     /root/reference/circuits/header_range.rs:71-88 (MapReduceGenerator)."""
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, program: Program):
         rows = program.n_rows
         # n ≥ rows + 1: the last row must stay free of ports/boundaries

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from vectorx_tpu.stark.prover import StarkConfig, prove
 from vectorx_tpu.stark.sha256_air import Sha256Air
 from vectorx_tpu.stark.verifier import verify
+from vectorx_tpu.recursion import progcache
 from vectorx_tpu.recursion.machine import MachineAir, compile_tape
 from vectorx_tpu.recursion.shadow import verifier_tape
 from vectorx_tpu.recursion.ssa import Affine, Builder
@@ -90,6 +91,20 @@ def _tree_tape(b: Builder, n_leaves: int, leaves, root, child_config,
         lvl += 1
 
 
+def _tree_key(leaves, root, cfg) -> str:
+    f = cfg.fri
+    return progcache.digest_key("sha_tree", f.rate_bits, f.cap_height,
+                                f.num_queries, f.final_poly_len, f.pow_bits,
+                                list(leaves), root)
+
+
+def _chain_key(header_lens, trusted, final, cfg) -> str:
+    f = cfg.fri
+    return progcache.digest_key("hash_chain", f.rate_bits, f.cap_height,
+                                f.num_queries, f.final_poly_len, f.pow_bits,
+                                list(header_lens), trusted, final)
+
+
 def prove_sha_tree(leaves: list[bytes],
                    child_config: StarkConfig,
                    outer_config: StarkConfig | None = None) -> ShaTreeProof:
@@ -111,8 +126,10 @@ def prove_sha_tree(leaves: list[bytes],
     _tree_tape(bld, len(leaves), leaves, root, child_config, proofs, levels)
     prog = compile_tape(bld)
     mair = MachineAir(prog)
-    return ShaTreeProof(proof=prove(mair, mair.build_trace(), outer_config),
-                        n_leaves=len(leaves))
+    out = ShaTreeProof(proof=prove(mair, mair.build_trace(), outer_config),
+                       n_leaves=len(leaves))
+    progcache.put(_tree_key(leaves, root, child_config), prog)
+    return out
 
 
 def verify_sha_tree(leaves: list[bytes], root: bytes, tree: ShaTreeProof,
@@ -124,10 +141,14 @@ def verify_sha_tree(leaves: list[bytes], root: bytes, tree: ShaTreeProof,
     if tree.n_leaves != len(leaves):
         return False
     try:
-        bld = Builder(witness=False)
-        _tree_tape(bld, len(leaves), leaves, root, child_config,
-                   None, None)
-        mair = MachineAir(compile_tape(bld))
+        def _rebuild():
+            bld = Builder(witness=False)
+            _tree_tape(bld, len(leaves), leaves, root, child_config,
+                       None, None)
+            return compile_tape(bld)
+
+        mair = MachineAir(progcache.cached_program(
+            _tree_key(leaves, root, child_config), _rebuild))
         return verify(mair, tree.proof, outer_config)
     except Exception:
         return False
@@ -228,9 +249,12 @@ def prove_hash_chain(headers: list[bytes], child_config: StarkConfig,
                 child_config, child, headers)
     prog = compile_tape(bld)
     mair = MachineAir(prog)
-    return HashChainProof(
+    out = HashChainProof(
         proof=prove(mair, mair.build_trace(), outer_config),
         header_lens=[len(h) for h in headers])
+    progcache.put(_chain_key(out.header_lens, trusted, final,
+                             child_config), prog)
+    return out
 
 
 def verify_hash_chain(trusted: bytes, final: bytes, chain: HashChainProof,
@@ -240,10 +264,15 @@ def verify_hash_chain(trusted: bytes, final: bytes, chain: HashChainProof,
     statement header sizes — no header bytes are ever seen."""
     outer_config = outer_config or child_config
     try:
-        bld = Builder(witness=False)
-        _chain_tape(bld, chain.header_lens, trusted, final,
-                    child_config, None, None)
-        mair = MachineAir(compile_tape(bld))
+        def _rebuild():
+            bld = Builder(witness=False)
+            _chain_tape(bld, chain.header_lens, trusted, final,
+                        child_config, None, None)
+            return compile_tape(bld)
+
+        mair = MachineAir(progcache.cached_program(
+            _chain_key(chain.header_lens, trusted, final, child_config),
+            _rebuild))
         return verify(mair, chain.proof, outer_config)
     except Exception:
         return False

@@ -157,9 +157,35 @@ class Air:
         the constant columns evaluated on the same row."""
         raise NotImplementedError
 
+    def comp_cache_key(self):
+        """Hashable statement-independent extra for sharing the compiled
+        composition graph across instances of this AIR with the same shape
+        (stark/prover.py::_composition_fn).  Return None (the default) to
+        cache per-instance instead.
+
+        Only return non-None when `transition(DeviceAlgebra, ...)` reads
+        statement data EXCLUSIVELY through `consts` and boundary VALUES
+        (both traced): publics and per-statement instance arrays baked into
+        the graph would silently corrupt proofs of other statements."""
+        return None
+
     def boundaries(self, public: list[int]):
         """[(row, col, value_int)] equality constraints on trace cells."""
         return []
+
+
+def scalar_attrs_cache_key(air) -> tuple:
+    """`comp_cache_key` helper for AIRs with statement-safe device
+    transitions: every scalar-ish instance attribute (mode flags, shape
+    knobs) keys the graph; arrays/lists (statement data, which must flow
+    through traced consts) are excluded."""
+    def ok(v):
+        if isinstance(v, (int, str, bool, bytes, type(None))):
+            return True
+        return isinstance(v, tuple) and all(ok(x) for x in v)
+
+    return tuple((k, v) for k, v in sorted(vars(air).items())
+                 if not k.startswith("_comp") and ok(v))
 
 
 def _lookup_transitions_device(local, aux_local, aux_next, consts, betas,

@@ -151,6 +151,13 @@ class Blake2bAir(Air):
     """Blake2b-256 (digest_size=32, no key) of a batch of messages.
     Pass a single `bytes` or a list of them."""
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, messages, bind: str = "consts"):
         assert bind in ("consts", "public")
         self.bind = bind

@@ -274,6 +274,13 @@ class Ed25519LadderAir(Air):
     """Batch EdDSA-equation proofs: one (A_cmp, R_cmp, S, h) tuple per
     signature, statement-bound via preprocessed columns."""
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, sigs, nbits: int = 253, log_n: int | None = None):
         self.sigs = _as_sigs(sigs)
         self.nbits = nbits

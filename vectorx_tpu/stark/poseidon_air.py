@@ -42,6 +42,13 @@ class PoseidonAir(Air):
     whole Merkle levels / sponge absorptions in one proof.
     """
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, input_state: list[int] | list[list[int]]):
         if input_state and isinstance(input_state[0], (list, tuple)):
             inputs = [list(s) for s in input_state]

@@ -126,6 +126,13 @@ class Sha256Air(Air):
       public_handles), hiding them from the final verifier — the building
       block for succinct composition."""
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, messages, bind: str = "consts"):
         assert bind in ("consts", "public")
         self.bind = bind

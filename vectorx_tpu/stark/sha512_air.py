@@ -134,6 +134,13 @@ class Sha512Air(Air):
     """Full SHA-512 of a batch of messages.  Pass a single `bytes` or a
     list of them."""
 
+    def comp_cache_key(self):
+        # device transition reads statement data only through
+        # consts/boundary values (traced) - graph shareable by shape
+        from vectorx_tpu.stark.air import scalar_attrs_cache_key
+        return scalar_attrs_cache_key(self)
+
+
     def __init__(self, messages):
         self.messages = _as_messages(messages)
         self._shape()

@@ -186,6 +186,27 @@ def zh_on_domain(log_n: int, rate_bits: int):
 # Commitments
 # ---------------------------------------------------------------------------
 
+def to_coeffs(rl, rh):
+    """Row-wise iNTT as one cached jit — evaluations (R, n) -> coefficients."""
+    key = ("intt", env_key())
+
+    def build():
+        return jax.jit(lambda rl, rh: intt_rows(rl, rh))
+
+    return cached_jit(key, build)(rl, rh)
+
+
+def lde_rows(cl, ch, rate_bits: int):
+    """Coefficient rows (R, n) -> coset LDE (R, n·2^rate_bits), one jit."""
+    key = ("lderows", rate_bits, env_key())
+
+    def build():
+        return jax.jit(
+            lambda cl, ch: coset_lde_rows(cl, ch, cl.shape[-1] << rate_bits))
+
+    return cached_jit(key, build)(cl, ch)
+
+
 def commit_rows(rl, rh, *, rate_bits: int, cap_height: int,
                 do_intt: bool = True):
     """Commit to polynomial rows (R, n): iNTT (optional) → rate-2^k coset
