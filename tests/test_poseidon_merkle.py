@@ -97,3 +97,36 @@ def test_challenger_deterministic_and_sensitive():
     assert a == b
     assert a != c
     assert all(0 <= x < P for x in a)
+
+
+def test_challenger_bulk_absorb_matches_elementwise():
+    # The device-scan bulk path (observe_many past BULK_MIN) must be
+    # protocol-identical to element-wise observe(): same state, same
+    # buffered tail, same output buffer, same downstream challenges.
+    rng = np.random.default_rng(7)
+    for extra in (0, 1, 5, 8, 11):
+        n = Challenger.BULK_MIN + 64 + extra
+        obs = [int(x) % P for x in rng.integers(0, 2**63, size=n, dtype=np.uint64)]
+        bulk, elem = Challenger(), Challenger()
+        elem.observe(3)          # start from a partial input buffer
+        bulk.observe(3)
+        for e in obs:
+            elem.observe(e)
+        bulk.observe_many(obs)
+        assert bulk.state == elem.state
+        assert bulk.input_buf == elem.input_buf
+        assert bulk.output_buf == elem.output_buf
+        assert bulk.get_n_challenges(6) == elem.get_n_challenges(6)
+
+
+def test_from_u64_limb_split():
+    from vectorx_tpu.field import goldilocks as gl
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 2**64, size=(3, 17), dtype=np.uint64)
+    lo, hi = gl.from_u64(arr)
+    assert np.array_equal(np.asarray(lo), (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    assert np.array_equal(np.asarray(hi), (arr >> np.uint64(32)).astype(np.uint32))
+    # non-contiguous input (transposed view) must still split correctly
+    lo2, hi2 = gl.from_u64(arr.T)
+    assert np.array_equal(np.asarray(lo2), np.asarray(lo).T)

@@ -257,13 +257,20 @@ def inv(al, ah):
 
 
 def from_u64(x) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Build (lo, hi) from a numpy/python array of Python ints or uint64."""
+    """Build (lo, hi) from a numpy/python array of Python ints or uint64.
+
+    Zero-copy limb split: a uint64 array IS its uint32 limb pairs in memory,
+    so view + stride instead of mask/shift/astype (which costs four full
+    passes over multi-hundred-MB traces before the device ever sees them).
+    """
+    import sys
+
     import numpy as np
 
-    arr = np.asarray(x, dtype=np.uint64)
-    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    hi = (arr >> np.uint64(32)).astype(np.uint32)
-    return jnp.asarray(lo), jnp.asarray(hi)
+    arr = np.ascontiguousarray(np.asarray(x, dtype=np.uint64))
+    pairs = arr.view(np.uint32).reshape(arr.shape + (2,))
+    lo_ix = 0 if sys.byteorder == "little" else 1
+    return jnp.asarray(pairs[..., lo_ix]), jnp.asarray(pairs[..., 1 - lo_ix])
 
 
 def to_u64(al, ah):

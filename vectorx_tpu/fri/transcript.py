@@ -36,9 +36,54 @@ class Challenger:
         if len(self.input_buf) == pv.RATE:
             self._duplex()
 
+    # Below this many elements, host bigint permutes beat a device dispatch
+    # (one axon-tunnel round trip ≈ tens of host permutes).
+    BULK_MIN = 512
+
     def observe_many(self, elements) -> None:
-        for e in elements:
-            self.observe(int(e))
+        elems = [int(e) for e in elements]
+        if len(elems) < self.BULK_MIN:
+            for e in elems:
+                self.observe(e)
+            return
+        self._observe_bulk(elems)
+
+    def _observe_bulk(self, elems: list[int]) -> None:
+        """Protocol-identical to element-wise observe: fill the current
+        partial rate buffer on the host, run every full-rate duplex as ONE
+        device scan (`poseidon.absorb_blocks`), keep the tail buffered."""
+        import numpy as np
+
+        head = (-len(self.input_buf)) % pv.RATE
+        for e in elems[:head]:
+            self.observe(e)
+        rest = elems[head:]
+        nfull = len(rest) // pv.RATE
+        if nfull == 0:
+            for e in rest:
+                self.observe(e)
+            return
+        arr = np.array(rest[: nfull * pv.RATE], dtype=np.uint64)
+        arr %= np.uint64(P)
+        blocks = arr.reshape(nfull, pv.RATE)
+        # pad the scan length to a pow2 bucket so one compile serves all sizes
+        m_pad = 1 << max(0, (nfull - 1)).bit_length()
+        pad = np.zeros((m_pad - nfull, pv.RATE), dtype=np.uint64)
+        blocks = np.concatenate([blocks, pad], axis=0)
+        from vectorx_tpu.field import goldilocks as gl
+
+        xl, xh = gl.from_u64(blocks)
+        st = np.array(self.state, dtype=np.uint64)
+        s_l, s_h = gl.from_u64(st)
+        sl, sh = pv.absorb_blocks(s_l, s_h, xl, xh, np.uint32(nfull))
+        sl = np.asarray(sl, dtype=np.uint64)
+        sh = np.asarray(sh, dtype=np.uint64)
+        self.state = [int(l | (h << 32)) for l, h in zip(sl, sh)]
+        self.input_buf = []
+        self.output_buf = list(self.state[: pv.RATE])
+        tail = rest[nfull * pv.RATE:]
+        for e in tail:
+            self.observe(e)
 
     def observe_digest(self, digest: list[int]) -> None:
         self.observe_many(digest)
