@@ -63,3 +63,16 @@ def test_blake2b_header_scale():
     for i in range(2):
         exp = hashlib.blake2b(msgs[i, :L].tobytes(), digest_size=32).digest()
         assert out[i].tobytes() == exp
+
+
+def test_blake2b_batch_masks_garbage_tails():
+    """Digest must depend only on the first lengths[i] bytes — bytes past
+    the length (caller buffer garbage) are masked inside, like hashlib."""
+    rng = np.random.default_rng(5)
+    lens = [0, 7, 128, 129, 1000]
+    msgs = rng.integers(1, 256, size=(len(lens), 1024), dtype=np.uint8)
+    out = blake2b_batch(msgs, np.array(lens, dtype=np.uint32))
+    for i, ln in enumerate(lens):
+        exp = hashlib.blake2b(bytes(msgs[i, :ln].tolist()),
+                              digest_size=32).digest()
+        assert bytes(out[i]) == exp

@@ -199,6 +199,11 @@ def blake2b_batch(msgs: np.ndarray, lengths: np.ndarray,
     pad_len = max_blocks * 128
     buf = np.zeros((B, pad_len), dtype=np.uint8)
     buf[:, :max_len] = msgs
+    # Blake2b pads with zeros: mask any caller garbage past each row's
+    # length so the digest depends only on the first `lengths[i]` bytes
+    # (silent corruption otherwise — found by a boundary drive).
+    lengths = np.asarray(lengths, dtype=np.uint32)
+    buf[np.arange(pad_len, dtype=np.uint32)[None, :] >= lengths[:, None]] = 0
     # little-endian 64-bit words: (B, max_blocks, 16)
     w = buf.reshape(B, max_blocks, 16, 8)
     wl = (w[..., 0].astype(np.uint32) | (w[..., 1].astype(np.uint32) << 8)
@@ -208,7 +213,6 @@ def blake2b_batch(msgs: np.ndarray, lengths: np.ndarray,
           | (w[..., 6].astype(np.uint32) << 16)
           | (w[..., 7].astype(np.uint32) << 24))
 
-    lengths = np.asarray(lengths, dtype=np.uint32)
     nblocks = np.maximum(1, (lengths + 127) // 128).astype(np.uint32)
 
     h0 = _h0(digest_size)
