@@ -199,3 +199,49 @@ def test_divergences_are_documented():
     readme = open("contracts/README.md").read()
     assert "timelock" in readme.lower()
     assert "proxy" in readme.lower()
+
+
+def test_abi_json_is_fresh_and_complete():
+    """abi/VectorX.abi.json (the abigen artifact operators consume,
+    reference scripts/abigen.sh:1-24 + bin/vectorx.rs:16) must be
+    regenerable byte-for-byte from the sources and cover the required
+    external surface."""
+    import json
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "scripts/abigen.py", "--check"],
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+    abi = json.load(open("abi/VectorX.abi.json"))
+    fns = {f"{e['name']}({','.join(i['type'] for i in e.get('inputs', []))})"
+           for e in abi if e["type"] == "function"}
+    evs = {f"{e['name']}({','.join(i['type'] for i in e.get('inputs', []))})"
+           for e in abi if e["type"] == "event"}
+    assert REQUIRED_FUNCTIONS <= fns
+    assert REQUIRED_EVENTS <= evs
+    # storage getters integrators read (reference VectorX.sol:20-51)
+    for getter in ("latestBlock", "latestAuthoritySetId",
+                   "blockHeightToHeaderHash", "authoritySetIdToHash",
+                   "dataRootCommitments", "stateRootCommitments",
+                   "rangeStartBlocks", "headerRangeCommitmentTreeSize"):
+        assert any(e["name"] == getter for e in abi), getter
+
+
+def test_calldata_encoding_smoke():
+    """Port of the reference's foundry calldata smoke test
+    (reference contracts/test/VectorX.t.sol:14-27): the commitHeaderRange
+    callback calldata the gateway submits is selector || abi.encode(args)."""
+    sel = keccak256(b"commitHeaderRange(uint64,uint32)")[:4]
+    trusted_block = 645570
+    authority_set_id = 616
+    target_block = 645610
+    calldata = (sel
+                + authority_set_id.to_bytes(32, "big")
+                + target_block.to_bytes(32, "big"))
+    assert len(calldata) == 4 + 32 + 32
+    assert calldata[:4].hex() == sel.hex()
+    assert int.from_bytes(calldata[4:36], "big") == authority_set_id
+    _ = trusted_block  # named to mirror the reference test's fixture values
