@@ -130,9 +130,11 @@ def _run_body(out_path: str, platform: str) -> None:
 
     _write()   # base record is durable before the slow AIR section
 
-    # --- STARK AIR prove throughput (round-3: the jitted composition path;
-    # round-2 evidence rate to beat: Blake2b max-header 7001 rows / 4194 s
-    # CPU = 1.7 rows/s, and TPU air_bench proves in the same decade) -------
+    # --- STARK AIR prove throughput at PRODUCTION FRI security ------------
+    # (round-4: the staged device-resident prover; round-3 numbers to beat:
+    # 1.1 rows/s Blake2b, header_range_256 est 0.007 proofs/hr).  Cold =
+    # first prove on this shape (compile-inclusive); warm = second prove
+    # with fresh witness, the steady-state operator cadence number.
     try:
         from vectorx_tpu.fri.fri import FriConfig
         from vectorx_tpu.stark.blake2b_air import SECTION as B2S
@@ -141,12 +143,20 @@ def _run_body(out_path: str, platform: str) -> None:
         from vectorx_tpu.stark.prover import prove as stark_prove
         from vectorx_tpu.stark.verifier import verify as stark_verify
 
-        cfgp = StarkConfig(fri=FriConfig(rate_bits=3, cap_height=1,
-                                         num_queries=8, final_poly_len=4,
-                                         pow_bits=8))
-        hdr = bytes(rng.integers(0, 256, size=2048 if big else 144,
-                                 dtype=np.uint8).tolist())
-        pair_air = Blake2bAir([hdr])
+        fri = FriConfig()            # production defaults: 28q / 16 pow bits
+        cfgp = StarkConfig(fri=fri)
+        extras["air_fri"] = (f"q{fri.num_queries}/pow{fri.pow_bits}/"
+                             f"rate{1 << fri.rate_bits}")
+
+        def mk_hdr():
+            return bytes(rng.integers(0, 256, size=2048 if big else 144,
+                                      dtype=np.uint8).tolist())
+
+        cold_air = Blake2bAir([mk_hdr()])
+        t0 = time.perf_counter()
+        pr = stark_prove(cold_air, cold_air.build_trace(), cfgp)
+        cold_s = time.perf_counter() - t0
+        pair_air = Blake2bAir([mk_hdr()])
         tr = pair_air.build_trace()
         t0 = time.perf_counter()
         pr = stark_prove(pair_air, tr, cfgp)
@@ -157,13 +167,14 @@ def _run_body(out_path: str, platform: str) -> None:
         assert okv
         rows_per_s = pair_air.n / prove_s
         extras["blake2b_air_rows"] = pair_air.n
-        extras["blake2b_air_prove_s"] = round(prove_s, 1)
+        extras["blake2b_air_cold_prove_s"] = round(cold_s, 1)
+        extras["blake2b_air_prove_s"] = round(prove_s, 2)
         extras["blake2b_air_verify_s"] = round(verify_s, 1)
         extras["air_prove_rows_per_s"] = round(rows_per_s, 1)
-        extras["air_fri"] = "q8/pow8/rate8"
         # header_range_256 estimate from measured component rows (BASELINE
         # metric, children only — the aggregation machine proof is extra;
-        # see evidence/succinct_header_range.json for the composed artifact)
+        # composed artifacts: evidence/prod_flagships.json and
+        # evidence/succinct_flagships.json)
         hdr_rows = 256 * (B2S * 16 + 1)            # 256 × 2 KB headers
         tree_rows = 2 * 255 * (65 * 2 + 1)         # 2 trees × 255 SHA nodes
         commit_rows = 300 * (65 * 2 + 1)           # authority-set chain
@@ -195,17 +206,61 @@ def _run_body(out_path: str, platform: str) -> None:
         mtr = mair.build_trace()
         t0 = time.perf_counter()
         mpr = stark_prove(mair, mtr, cfgp)
+        m_cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mpr = stark_prove(mair, mtr, cfgp)
         m_prove_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         assert stark_verify(mair, mpr, cfgp)
         m_verify_s = time.perf_counter() - t0
         extras["machine_air_rows"] = mair.n
-        extras["machine_air_prove_s"] = round(m_prove_s, 1)
+        extras["machine_air_cold_prove_s"] = round(m_cold_s, 1)
+        extras["machine_air_prove_s"] = round(m_prove_s, 2)
         extras["machine_air_verify_s"] = round(m_verify_s, 1)
         extras["machine_air_rows_per_s"] = round(mair.n / m_prove_s, 1)
         _write()
     except Exception as e:  # noqa: BLE001 — best-effort
         extras["machine_bench_error"] = f"{type(e).__name__}: {e}"
+        _write()
+
+    # --- Pippenger MSM (BASELINE north-star metric #2 partner) ------------
+    # 301-point MSM ≙ witness-side aggregation for a 300-sig GRANDPA batch
+    # (reference justification.rs:237-243 scale); full crossover study in
+    # evidence/msm.json (drive_msm.py).
+    try:
+        from vectorx_tpu.curves import ed25519 as ed
+        from vectorx_tpu.curves import ed25519_batch as eb
+
+        nsigs = 300 if big else 8          # 300 = reference batch size
+        msg = b"\x01" + b"\x42" * 32 + (20).to_bytes(4, "little") \
+            + (7).to_bytes(8, "little") + (1).to_bytes(8, "little")
+        pubkeys, msgs_l, sigs = [], [], []
+        for i in range(nsigs):
+            secret = (i + 1).to_bytes(4, "little") * 8
+            pubkeys.append(ed.public_key(secret))
+            msgs_l.append(msg)
+            sigs.append(ed.sign(secret, msg))
+        fixed_rng = (lambda: 0x5a5a5a5a5a5a5a5a5a5a5a5a5a5a5a5a)
+
+        def run_msm():
+            return eb.batch_verify(pubkeys, msgs_l, sigs, rng=fixed_rng,
+                                   method="msm")
+
+        t0 = time.perf_counter()
+        assert run_msm()
+        msm_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        assert run_msm()
+        msm_s = time.perf_counter() - t0
+        npts = 2 * nsigs + 1
+        extras["msm_sigs"] = nsigs
+        extras["msm_points"] = npts
+        extras["msm_cold_s"] = round(msm_cold, 1)
+        extras["msm_verify_s"] = round(msm_s, 2)
+        extras["msm_points_per_s"] = round(npts / msm_s, 1)
+        _write()
+    except Exception as e:  # noqa: BLE001 — best-effort
+        extras["msm_bench_error"] = f"{type(e).__name__}: {e}"
         _write()
 
 

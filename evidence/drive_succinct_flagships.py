@@ -1,15 +1,19 @@
-"""Evidence driver: the succinct flagships at PRODUCTION FRI security.
+"""Evidence driver: the succinct flagships at PRODUCTION FRI security
+and REAL scale.
 
 Round-2 verdict: every flagship number was measured at toy FRI configs
-(2-12 queries, pow 0-1 — ~7-24 conjectured bits).  This driver re-proves
-the round-3 product statements at the repo's default ~100-bit config
-(28 queries, 16 pow bits, rate 1/8 — fri/fri.py:42-49, matching the
-reference's plonky2 standard config) and records honest prove/verify
-seconds + tamper rejections.
+(2-12 queries, pow 0-1 — ~7-24 conjectured bits).  Round-3 verdict: only
+ever proven at tree_size=2 with ~200-B headers.  This driver proves the
+product statements at the repo's default ~100-bit config (28 queries,
+16 pow bits, rate 1/8 — fri/fri.py, matching the reference's plonky2
+standard config), over a commitment tree of `--tree` leaves (default 16)
+with ~`--header-bytes` encoded headers (default 2048 — Avail-realistic;
+the reference's bound is 35,840 B, consts.rs:9-16), and records honest
+prove/verify seconds + tamper rejections.
 
-Usage:  python evidence/drive_succinct_flagships.py [header_range|rotate]
-                                                    [--queries N] [--pow N]
-Writes  evidence/succinct_<which>.json.
+Usage:  python evidence/drive_succinct_flagships.py [header_range|rotate|all]
+            [--tree N] [--header-bytes B] [--queries N] [--pow N]
+Writes  evidence/succinct_flagships.json (section-checkpointed).
 """
 
 import dataclasses
@@ -32,8 +36,12 @@ from vectorx_tpu.io.abi import HeaderRangeInput, RotateInput  # noqa: E402
 from vectorx_tpu.io.fixtures import FixtureChain     # noqa: E402
 from vectorx_tpu.stark.prover import StarkConfig     # noqa: E402
 
-CHAIN = FixtureChain(seed=19, num_blocks=12, epoch_length=6,
-                     authorities_per_era=lambda e: 1)
+def _mk_chain(tree: int, header_bytes: int):
+    """A fixture chain whose era 1 covers (trusted, trusted + tree]."""
+    epoch = 2 * tree
+    return FixtureChain(seed=19, num_blocks=3 * tree + 2, epoch_length=epoch,
+                        authorities_per_era=lambda e: 1,
+                        extension_bytes=max(0, header_bytes - 180)), epoch
 
 
 def _cfg(args):
@@ -48,14 +56,18 @@ def _cfg(args):
                                      pow_bits=pw)), q, pw
 
 
-def run_header_range(cfg):
+def run_header_range(cfg, tree: int, header_bytes: int):
     from vectorx_tpu.circuits.succinct_header_range import (
         prove_header_range_succinct, verify_header_range_succinct)
 
-    inp = HeaderRangeInput(7, CHAIN.get_block_hash(7), 1,
-                           chained_hash(CHAIN.era_pubkeys(1)), 9)
+    chain, epoch = _mk_chain(tree, header_bytes)
+    trusted, target = epoch, epoch + tree
+    inp = HeaderRangeInput(trusted, chain.get_block_hash(trusted), 1,
+                           chained_hash(chain.era_pubkeys(1)), target)
+    hdr_lens = [len(chain.get_encoded_header(b))
+                for b in range(trusted + 1, target + 1)]
     t0 = time.time()
-    proof = prove_header_range_succinct(CHAIN, inp.encode(), tree_size=2,
+    proof = prove_header_range_succinct(chain, inp.encode(), tree_size=tree,
                                         config=cfg)
     t1 = time.time()
     ok = verify_header_range_succinct(proof, config=cfg)
@@ -67,9 +79,13 @@ def run_header_range(cfg):
     rej = not verify_header_range_succinct(bad, config=cfg)
     t3 = time.time()
     return {
-        "statement": "header_range 2 headers (hidden) + commitment trees + "
-                     "in-ZK GRANDPA justification, ONE machine proof; "
-                     "verifier sees ONLY (input_bytes, output_bytes, proof)",
+        "statement": f"header_range {tree} headers (hidden, "
+                     f"{min(hdr_lens)}-{max(hdr_lens)} B) + commitment "
+                     "trees + in-ZK GRANDPA justification, ONE machine "
+                     "proof; verifier sees ONLY (input_bytes, output_bytes, "
+                     "proof)",
+        "tree_size": tree,
+        "header_bytes_min": min(hdr_lens), "header_bytes_max": max(hdr_lens),
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
         "tamper_check_s": round(t3 - t2, 1),
@@ -77,13 +93,17 @@ def run_header_range(cfg):
     }
 
 
-def run_rotate(cfg):
+def run_rotate(cfg, header_bytes: int):
     from vectorx_tpu.circuits.succinct_rotate import (
         prove_rotate_succinct, verify_rotate_succinct)
 
-    inp = RotateInput(1, chained_hash(CHAIN.era_pubkeys(1)))
+    chain = FixtureChain(seed=19, num_blocks=12, epoch_length=6,
+                         authorities_per_era=lambda e: 1,
+                         extension_bytes=max(0, header_bytes - 180))
+    epoch_end = len(chain.get_encoded_header(12))
+    inp = RotateInput(1, chained_hash(chain.era_pubkeys(1)))
     t0 = time.time()
-    proof = prove_rotate_succinct(CHAIN, inp.encode(), max_authorities=8,
+    proof = prove_rotate_succinct(chain, inp.encode(), max_authorities=8,
                                   config=cfg)
     t1 = time.time()
     ok = verify_rotate_succinct(proof, max_authorities=8, config=cfg)
@@ -93,10 +113,12 @@ def run_rotate(cfg):
     rej = not verify_rotate_succinct(bad, max_authorities=8, config=cfg)
     t3 = time.time()
     return {
-        "statement": "rotate: hidden epoch-end header, in-tape consensus-log "
+        "statement": "rotate: hidden epoch-end header "
+                     f"({epoch_end} B), in-tape consensus-log "
                      "walk + validator scan, in-ZK justification, ONE "
                      "machine proof; verifier sees ONLY (set_id, set_hash) "
                      "-> new_set_hash",
+        "epoch_end_header_bytes": epoch_end,
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
         "tamper_check_s": round(t3 - t2, 1),
@@ -113,8 +135,10 @@ def _machine_rows():
 
 def main():
     args = sys.argv[1:]
-    which = args[0] if args and not args[0].startswith("-") else \
-        "header_range"
+    which = args[0] if args and not args[0].startswith("-") else "all"
+    tree = int(args[args.index("--tree") + 1]) if "--tree" in args else 16
+    hb = (int(args[args.index("--header-bytes") + 1])
+          if "--header-bytes" in args else 2048)
     cfg, q, pw = _cfg(args)
 
     # record actual machine-trace rows via a prove hook
@@ -126,21 +150,47 @@ def main():
         _ROWS["rows"] = max(_ROWS.get("rows", 0), self.n)
     _m.MachineAir.__init__ = hooked
 
-    runner = {"header_range": run_header_range, "rotate": run_rotate}[which]
-    record = runner(cfg)
-    record.update({
+    out = os.path.join(os.path.dirname(__file__), "succinct_flagships.json")
+    record = {
         "backend": jax.devices()[0].platform,
         "fri_config": {"rate_bits": 3, "cap_height": 1, "num_queries": q,
                        "final_poly_len": 4, "pow_bits": pw},
         "security_note": "28 queries @ rate 1/8 + 16 pow bits ~= 100-bit "
                          "conjectured (plonky2 standard)" if (q, pw) ==
                          (28, 16) else f"{q} queries + {pw} pow bits",
-    })
-    out = os.path.join(os.path.dirname(__file__), f"succinct_{which}.json")
-    with open(out, "w") as f:
-        json.dump(record, f, indent=2)
-        f.write("\n")
-    print(json.dumps(record))
+        "sections": {},
+    }
+    if os.path.exists(out):     # resume: keep prior sections
+        try:
+            with open(out) as f:
+                prior = json.load(f)
+            if prior.get("fri_config") == record["fri_config"]:
+                record["sections"] = prior.get("sections", {})
+        except ValueError:
+            pass
+
+    def checkpoint():
+        with open(out + ".tmp", "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
+        os.replace(out + ".tmp", out)
+
+    sections = (["header_range", "rotate"] if which == "all" else [which])
+    for name in sections:
+        _ROWS.clear()
+        t0 = time.time()
+        try:
+            if name == "header_range":
+                rec = run_header_range(cfg, tree, hb)
+            else:
+                rec = run_rotate(cfg, hb)
+        except Exception as e:  # noqa: BLE001 — record failures honestly
+            rec = {"error": f"{type(e).__name__}: {e}",
+                   "elapsed_s": round(time.time() - t0, 1)}
+        record["sections"][name] = rec
+        checkpoint()
+        print(name, json.dumps(rec)[:300], flush=True)
+    print(json.dumps(record)[:400])
 
 
 if __name__ == "__main__":

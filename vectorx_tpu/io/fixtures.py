@@ -68,11 +68,15 @@ class FixtureChain:
 
     def __init__(self, seed: int = 0, num_blocks: int = 64,
                  epoch_length: int = 20, authorities_per_era=None,
-                 sign_fraction: float = 0.8):
+                 sign_fraction: float = 0.8, extension_bytes: int = 0):
+        """`extension_bytes`: extra per-header extension filler, for
+        realistic-size headers (Avail mainnet headers run KBs; the
+        reference bounds them at 35,840 B, consts.rs:9-16)."""
         self.seed = seed
         self.num_blocks = num_blocks
         self.epoch_length = epoch_length
         self.sign_fraction = sign_fraction
+        self.extension_bytes = extension_bytes
         self._era_sizes = authorities_per_era or (lambda era: 4)
         self._headers: list[scale.Header] = []
         self._encoded: list[bytes] = []
@@ -109,7 +113,7 @@ class FixtureChain:
                 logs.append(scale.encode_other_log(self._rand("other", n)[:8]))
                 logs.append(
                     scale.encode_scheduled_change_log(self.era_pubkeys(era)))
-            filler_len = 40 + (n * 7) % 64
+            filler_len = self.extension_bytes + 40 + (n * 7) % 64
             hdr = scale.Header(
                 parent_hash=parent,
                 block_number=n,
