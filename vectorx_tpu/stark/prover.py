@@ -94,8 +94,11 @@ class StarkProof:
 # computed one stride-`blowup` coset at a time (1/blowup peak memory),
 # commitments are built from interleaved per-coset leaf digests, and the
 # proof bytes are BIT-IDENTICAL to the unstreamed path (regression-tested).
-# 2^29 limb pairs ≈ 4 GB standing — headroom for temporaries on a 16 GB v5e.
-STREAM_THRESHOLD_ELEMS = 1 << 29
+# 2^28 limb pairs ≈ 2 GB standing LDEs.  The staged prover holds every
+# committed LDE until the bulk query-opening stage, so full-path peak runs
+# ~4× standing (measured: a just-under-2^29 machine statement peaked at
+# 16.13 G on a 15.75 G v5e) — 2^28 keeps peak ≈ 8 G with headroom.
+STREAM_THRESHOLD_ELEMS = 1 << 28
 
 
 def _commit_cols(air: Air) -> int:
@@ -241,15 +244,6 @@ def aux_witness(air: Air, tl, th, cll, clh, betas, deltas):
             deltas_p = [(deltas_pair[0][s], deltas_pair[1][s])
                         for s in range(S)] if ports else []
             dens_l, dens_h = [], []
-            for lk in lookups:
-                for (bl, bh) in betas_p:
-                    for j in lk.inputs:
-                        d = gl.sub(bl, bh, tl[j], th[j])
-                        dens_l.append(d[0])
-                        dens_h.append(d[1])
-                    d = gl.sub(bl, bh, cll[lk.table], clh[lk.table])
-                    dens_l.append(d[0])
-                    dens_h.append(d[1])
             for port in ports:
                 a_l, a_h = cll[port.addr_col], clh[port.addr_col]
                 v0l = jnp.roll(tl[port.value_cols[0]], -1)
@@ -264,27 +258,54 @@ def aux_witness(air: Air, tl, th, cll, clh, betas, deltas):
                     d = gl.sub(bl, bh, *cmp_)
                     dens_l.append(d[0])
                     dens_h.append(d[1])
-            inv_l, inv_h = gl.inv(jnp.stack(dens_l), jnp.stack(dens_h))
+            inv_l, inv_h = (gl.inv(jnp.stack(dens_l), jnp.stack(dens_h))
+                            if dens_l else (None, None))
             rows_l, rows_h = [], []
             k = 0
             if lookups:
-                lr_l, lr_h = [], []
-                for lk in lookups:
-                    m_l, m_h = tl[lk.multiplicity], th[lk.multiplicity]
-                    for _ in betas_p:
-                        ni = len(lk.inputs)
-                        cl = inv_l[k]
-                        ch = inv_h[k]
-                        for j in range(1, ni):
-                            cl, ch = gl.add(cl, ch, inv_l[k + j],
-                                            inv_h[k + j])
-                        mt = gl.mul(m_l, m_h, inv_l[k + ni], inv_h[k + ni])
-                        cl, ch = gl.sub(cl, ch, *mt)
-                        k += ni + 1
-                        lr_l.append(cl)
-                        lr_h.append(ch)
-                zl, zh = _field_exclusive_prefix_sum(jnp.stack(lr_l),
-                                                     jnp.stack(lr_h))
+                # Vectorized by arity group: a thousand-lookup AIR (the
+                # ed25519 ladder has 1066) must not emit a thousand-times
+                # unrolled HLO graph — that OOM-killed the remote compile
+                # helper.  Same math, same (lookup, set) row order, so aux
+                # values and proof bytes are bit-identical to the unrolled
+                # form.
+                import numpy as np
+
+                n = tl.shape[-1]
+                Ln = len(lookups)
+                lr_l = jnp.zeros((Ln, S, n), jnp.uint32)
+                lr_h = jnp.zeros((Ln, S, n), jnp.uint32)
+                by_ni: dict = {}
+                for li, lk in enumerate(lookups):
+                    by_ni.setdefault(len(lk.inputs), []).append(li)
+                bl_s = betas_pair[0][:, None, None]    # (S, 1, 1)
+                bh_s = betas_pair[1][:, None, None]
+                for ni, idxs in sorted(by_ni.items()):
+                    sel = np.array(idxs)
+                    in_idx = np.array([lookups[li].inputs for li in idxs])
+                    tb_idx = np.array([lookups[li].table for li in idxs])
+                    mu_idx = np.array([lookups[li].multiplicity
+                                       for li in idxs])
+                    a_l, a_h = tl[in_idx], th[in_idx]          # (G, ni, n)
+                    t_l, t_h = cll[tb_idx], clh[tb_idx]        # (G, n)
+                    m_l, m_h = tl[mu_idx], th[mu_idx]          # (G, n)
+                    # denominators (S, G, ni+1, n): β_s − inputs, β_s − table
+                    cat_l = jnp.concatenate([a_l, t_l[:, None]], axis=1)
+                    cat_h = jnp.concatenate([a_h, t_h[:, None]], axis=1)
+                    d_l, d_h = gl.sub(bl_s[:, :, :, None], bh_s[:, :, :, None],
+                                      cat_l[None], cat_h[None])
+                    iv_l, iv_h = gl.inv(d_l, d_h)
+                    c_l, c_h = iv_l[:, :, 0], iv_h[:, :, 0]    # (S, G, n)
+                    for j in range(1, ni):
+                        c_l, c_h = gl.add(c_l, c_h,
+                                          iv_l[:, :, j], iv_h[:, :, j])
+                    mt = gl.mul(m_l[None], m_h[None],
+                                iv_l[:, :, ni], iv_h[:, :, ni])
+                    c_l, c_h = gl.sub(c_l, c_h, *mt)
+                    lr_l = lr_l.at[sel].set(jnp.moveaxis(c_l, 0, 1))
+                    lr_h = lr_h.at[sel].set(jnp.moveaxis(c_h, 0, 1))
+                zl, zh = _field_exclusive_prefix_sum(
+                    lr_l.reshape(Ln * S, n), lr_h.reshape(Ln * S, n))
                 for i in range(zl.shape[0]):
                     rows_l.append(zl[i])
                     rows_h.append(zh[i])
