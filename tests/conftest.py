@@ -42,3 +42,24 @@ if os.environ.get("VECTORX_SLOW_TESTS", "0") != "1":
     from _proofcache import install as _install_proof_cache  # noqa: E402
 
     _install_proof_cache()
+
+
+# Slow-tier marker: @pytest.mark.slow tests (multi-minute XLA:CPU compiles —
+# the MSM pipelines, the full-width ladder round-trip) only run with
+# VECTORX_SLOW_TESTS=1.  Keeps the default tier inside its 10-minute budget
+# while the slow tier still covers everything.
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test, runs only with "
+                   "VECTORX_SLOW_TESTS=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("VECTORX_SLOW_TESTS", "0") == "1":
+        return
+    import pytest as _pytest
+
+    skip = _pytest.mark.skip(reason="slow tier (set VECTORX_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -151,6 +151,7 @@ def test_msm_matches_host_oracle():
     assert host.point_compress((gx, gy, 1, gx * gy % host.Q)) == want
 
 
+@pytest.mark.slow
 def test_batch_verify_msm_method():
     pks, msgs, sigs = _make_sigs(4)
     import vectorx_tpu.curves.ed25519_batch as eb
@@ -166,6 +167,7 @@ def test_batch_verify_msm_method():
         eb.MSM_WINDOW = old
 
 
+@pytest.mark.slow
 def test_msm_sharded_matches_single_device():
     """Per-chip bucket sharding over the test mesh == unsharded MSM."""
     import jax

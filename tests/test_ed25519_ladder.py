@@ -95,6 +95,7 @@ def test_wrong_equation_has_no_witness():
         air.build_trace()                         # eq payload can't be built
 
 
+@pytest.mark.slow
 def test_zk_roundtrip_and_statement_tamper():
     sig = make_instance()
     air = Ed25519LadderAir([sig], nbits=8)
