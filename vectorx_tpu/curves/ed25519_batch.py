@@ -31,7 +31,7 @@ import secrets
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vectorx_tpu.curves import ed25519 as host
 
@@ -402,7 +402,7 @@ def msm_sharded(mesh, axis: str, scalars: list[int], points,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P_(axis), (P_(axis),) * 4), out_specs=P_(),
-        check_rep=False)
+        check_vma=False)
     def local_sums(keys_shard, pts_shard):
         flat = tuple(jnp.repeat(a, k, axis=0) for a in pts_shard)
         buckets = _segmented_bucket_sums(keys_shard.reshape(-1), flat,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vectorx_tpu.field import goldilocks as gl
 from vectorx_tpu.ntt import ntt, intt, power_table

@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vectorx_tpu.field import goldilocks as gl
 from vectorx_tpu.hash import poseidon
@@ -63,6 +63,6 @@ def make_sharded_prover_step(mesh: Mesh, axis: str = "batch",
         local_step, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,  # outputs are replicated via all_gather/psum
+        check_vma=False,  # outputs are replicated via all_gather/psum
     )
     return jax.jit(fn)
