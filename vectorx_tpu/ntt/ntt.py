@@ -81,14 +81,48 @@ def _bit_reverse_perm(log_n: int):
     return rev
 
 
+# Device-computed tables: inside a jit, a numpy table becomes a dense
+# LITERAL in the lowered MLIR — multi-MB hex text per 2^20-point transform
+# that blew past the remote-compile service's request-size limit on the
+# tree-16 machine proof.  Building the same values with O(log n) traced ops
+# keeps programs literal-free and bit-identical.
+
+def _dev_bitrev(log_n: int):
+    n = 1 << log_n
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros_like(idx)
+    for b in range(log_n):
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
+    return rev
+
+
+def _dev_powers(base: int, count: int):
+    """[base^0 .. base^(count-1)] as traced (lo, hi) uint32 arrays, built by
+    log-doubling: P_{2k} = P_k ++ base^k·P_k (scalar constants only)."""
+    lo = jnp.ones((1,), jnp.uint32)
+    hi = jnp.zeros((1,), jnp.uint32)
+    cur = base % P
+    k = 1
+    while k < count:
+        ml = jnp.uint32(cur & 0xFFFFFFFF)
+        mh = jnp.uint32(cur >> 32)
+        nl, nh = gl.mul(lo, hi, ml, mh)
+        lo = jnp.concatenate([lo, nl])
+        hi = jnp.concatenate([hi, nh])
+        cur = (cur * cur) % P
+        k *= 2
+    return lo[:count], hi[:count]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _transform(lo, hi, log_n: int, inverse: bool):
     n = 1 << log_n
     assert lo.shape[-1] == n
-    perm = _bit_reverse_perm(log_n)
+    perm = _dev_bitrev(log_n)
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)
-    twl, twh = _twiddles(log_n, inverse)
+    w = _root_of_unity(log_n, inverse)
+    twl, twh = _dev_powers(w, max(n // 2, 1))
     batch = lo.shape[:-1]
     for s in range(log_n):
         m = 1 << s                 # half-block size at this stage
@@ -133,8 +167,8 @@ def intt(lo, hi):
 def coset_ntt(lo, hi, shift: int = gl.GENERATOR):
     """Coefficients -> evaluations over the coset shift·K, |K| = n."""
     n = lo.shape[-1]
-    sl, sh = power_table(shift, n)
-    lo, hi = gl.mul(lo, hi, jnp.asarray(sl), jnp.asarray(sh))
+    sl, sh = _dev_powers(shift, n)
+    lo, hi = gl.mul(lo, hi, sl, sh)
     return ntt(lo, hi)
 
 
@@ -143,8 +177,8 @@ def coset_intt(lo, hi, shift: int = gl.GENERATOR):
     n = lo.shape[-1]
     cl, ch = intt(lo, hi)
     inv_shift = pow(shift, P - 2, P)
-    sl, sh = power_table(inv_shift, n)
-    return gl.mul(cl, ch, jnp.asarray(sl), jnp.asarray(sh))
+    sl, sh = _dev_powers(inv_shift, n)
+    return gl.mul(cl, ch, sl, sh)
 
 
 def lde(values_lo, values_hi, rate_bits: int = 3, shift: int = gl.GENERATOR):
