@@ -416,26 +416,51 @@ def _composition_core(air, public, boundaries, x_last, roll,
     acc = (*acc0, *acc1)
 
     if boundaries:
+        # Memory-bounded boundary terms: a public-bind Blake2b batch pins
+        # thousands of boundaries (16 × 2 KB headers = 8704), and (B, N)
+        # intermediates at N = 2^16 are 2.1 GB EACH — the un-chunked form
+        # OOMed a 16 GB v5e.  Denominators 1/(x − x_row) are inverted once
+        # per UNIQUE row (boundaries cluster on message-start/digest rows),
+        # and the boundary axis is chunked like the transition axis above.
+        # Field sums reassociate exactly, so acc values (and proof bytes)
+        # are identical to the flat form.
         w = _root_of_unity(air.log_n, inverse=False)
-        rows_x = np.array([pow(w, row, P) for (row, _c, _v) in boundaries],
-                          dtype=np.uint64)
+        rows = [row for (row, _c, _v) in boundaries]
+        uniq = sorted(set(rows))
+        uidx = {r: i for i, r in enumerate(uniq)}
+        seg = np.array([uidx[r] for r in rows])
         cols = [c for (_r, c, _v) in boundaries]
-        xrl, xrh = gl.from_u64(rows_x)
         vl_, vh_ = bnd_v
         ap = tuple(t[n_trans:] for t in tw)
-        dl, dh = gl.sub(xl[None, :], xh[None, :],
-                        xrl[:, None], xrh[:, None])        # (B, N)
-        dinv_l, dinv_h = gl.inv(dl, dh)
-        # col index ≥ W addresses a lookup aux column (lookup_boundaries)
-        pcl = jnp.stack([trl[c] if c < W else axl[c - W] for c in cols])
-        pch = jnp.stack([trh[c] if c < W else axh[c - W] for c in cols])
-        pl_, ph_ = gl.sub(pcl, pch, vl_[:, None], vh_[:, None])
-        cl, ch = gl.mul(pl_, ph_, zh_l[None, :], zh_h[None, :])
-        cl, ch = gl.mul(cl, ch, dinv_l, dinv_h)
-        t0 = gl.mul(cl, ch, ap[0][:, None], ap[1][:, None])
-        t1 = gl.mul(cl, ch, ap[2][:, None], ap[3][:, None])
-        term = (_sum_rows(*t0), _sum_rows(*t1))
-        acc = ge.add(acc, (*term[0], *term[1]))
+
+        CB = max(1, (1 << 25) // max(1, N))
+        dinv_parts = []
+        for s in range(0, len(uniq), CB):
+            rows_x = np.array([pow(w, r, P) for r in uniq[s:s + CB]],
+                              dtype=np.uint64)
+            xrl, xrh = gl.from_u64(rows_x)
+            dl, dh = gl.sub(xl[None, :], xh[None, :],
+                            xrl[:, None], xrh[:, None])
+            dinv_parts.append(gl.inv(dl, dh))
+        dinv_l = jnp.concatenate([p[0] for p in dinv_parts], axis=0)
+        dinv_h = jnp.concatenate([p[1] for p in dinv_parts], axis=0)
+
+        b0 = b1 = None
+        for s in range(0, n_bnd, CB):
+            e = min(s + CB, n_bnd)
+            # col index ≥ W addresses a lookup aux column (lookup_boundaries)
+            pcl = jnp.stack([trl[c] if c < W else axl[c - W]
+                             for c in cols[s:e]])
+            pch = jnp.stack([trh[c] if c < W else axh[c - W]
+                             for c in cols[s:e]])
+            pl_, ph_ = gl.sub(pcl, pch, vl_[s:e, None], vh_[s:e, None])
+            cl, ch = gl.mul(pl_, ph_, zh_l[None, :], zh_h[None, :])
+            cl, ch = gl.mul(cl, ch, dinv_l[seg[s:e]], dinv_h[seg[s:e]])
+            t0 = _sum_rows(*gl.mul(cl, ch, ap[0][s:e, None], ap[1][s:e, None]))
+            t1 = _sum_rows(*gl.mul(cl, ch, ap[2][s:e, None], ap[3][s:e, None]))
+            b0 = t0 if b0 is None else gl.add(*b0, *t0)
+            b1 = t1 if b1 is None else gl.add(*b1, *t1)
+        acc = ge.add(acc, (*b0, *b1))
     return acc
 
 
