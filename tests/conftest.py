@@ -17,6 +17,11 @@ if os.environ.get("VECTORX_TEST_TPU", "0") != "1":
     # tunnel.  (The plugin may already be registered by sitecustomize; JAX
     # only *initializes* the platform named here, so forcing cpu is enough.)
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Skip the plugin's exclusive TPU claim: with a concurrent TPU job
+    # (e.g. an evidence driver) holding the chip, any pallas_call — even
+    # interpret-mode — would otherwise block on the claim instead of
+    # running locally.
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

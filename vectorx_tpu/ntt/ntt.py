@@ -114,10 +114,34 @@ def _dev_powers(base: int, count: int):
     return lo[:count], hi[:count]
 
 
+def _use_pallas(log_n: int) -> bool:
+    """Route VMEM-resident sizes through the single-pass Pallas kernel on
+    real TPU (ntt/pallas_ntt.py: ~3 HBM passes instead of ~2·log_n).
+    VECTORX_PALLAS_NTT=0 forces the stage-by-stage XLA path everywhere."""
+    import os
+
+    # opt-in ("1") until the kernel is validated on the real chip; the
+    # interpret-mode tests pin bit-exactness, not Mosaic lowering
+    if os.environ.get("VECTORX_PALLAS_NTT", "0") != "1":
+        return False
+    from vectorx_tpu.ntt import pallas_ntt
+
+    if not (pallas_ntt.MIN_LOG_N <= log_n <= pallas_ntt.MAX_LOG_N):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _transform(lo, hi, log_n: int, inverse: bool):
     n = 1 << log_n
     assert lo.shape[-1] == n
+    if _use_pallas(log_n):
+        from vectorx_tpu.ntt import pallas_ntt
+
+        return pallas_ntt.transform(lo, hi, log_n, inverse)
     perm = _dev_bitrev(log_n)
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)

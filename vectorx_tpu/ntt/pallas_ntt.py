@@ -1,0 +1,215 @@
+"""Single-pass in-VMEM Goldilocks NTT as a Pallas TPU kernel.
+
+The XLA radix-2 path (`ntt._transform`) materializes the working array in
+HBM once per butterfly stage: a size-2^k transform costs ~2k full HBM
+passes, which caps it near 1/(2k) of the HBM-bandwidth bound.  This kernel
+instead loads each length-n row into VMEM ONCE, runs every butterfly stage
+on-chip, and writes the result ONCE — the four-step (Bailey) decomposition
+n = R·C mapped onto the VPU's (sublane, lane) geometry:
+
+    x (R, C), M[r][c] = x[r·C + c],   k = k1 + R·k2
+      1. DIF NTT of length R down the SUBLANE axis (lanes = c, vectorized)
+      2. elementwise twiddle  ω_n^(k1·c)
+      3. DIF NTT of length C along the LANE axis
+      4. store  O[p][q] = X[br_R(p) + R·br_C(q)]
+
+Both inner transforms are decimation-in-frequency with the butterfly in
+XOR form — partner(i) = i XOR h via two circular rolls and a select — so
+the kernel needs NO in-VMEM bit-reversal, NO transpose, and NO gather:
+only `pltpu.roll`, selects, and the uint32 limb field ops from
+`vectorx_tpu.field.goldilocks` (written to trace inside Pallas bodies).
+The single digit-reversal permutation left over is applied OUTSIDE the
+kernel by one XLA gather (`jnp.take`), which XLA fuses with neighbouring
+elementwise work.  Net HBM traffic: ~2 passes (+1 for the gather) versus
+~2·log2(n) for the stage-by-stage path.
+
+Replaces the hot polynomial transform of the reference proving stack
+(plonky2 `fft`/`coset_lde` — SURVEY.md §2 E1); `ntt._transform` dispatches
+here on TPU for 2^10 ≤ n ≤ 2^18 (VMEM-resident sizes).  Disable with
+VECTORX_PALLAS_NTT=0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vectorx_tpu.field import goldilocks as gl
+
+P = gl.P
+
+MIN_LOG_N = 10   # below this R < 8 sublanes: XLA path is fine anyway
+MAX_LOG_N = 18   # above this the (R, C) working set outgrows VMEM
+
+
+def _split_rc(log_n: int) -> tuple[int, int]:
+    """n = R·C with C the lane dimension (128 or 256)."""
+    c_bits = 8 if log_n >= 16 else 7
+    return 1 << (log_n - c_bits), 1 << c_bits
+
+
+def _bitrev(k_bits: int) -> np.ndarray:
+    n = 1 << k_bits
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(k_bits):
+        rev |= ((idx >> b) & 1) << (k_bits - 1 - b)
+    return rev
+
+
+def _np_limbs(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    v = vals.astype(np.uint64)
+    return ((v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32))
+
+
+def _np_powmod(base: np.ndarray, exp: np.ndarray) -> np.ndarray:
+    """Elementwise base^exp mod P on uint64 numpy arrays (object-free).
+
+    Square-and-multiply with the product done in Python ints only at the
+    table-build sizes used here (≤ 2^18 entries, built once per shape and
+    lru-cached) — numpy has no native 64×64→128 modmul.
+    """
+    flat_b = base.ravel().tolist()
+    flat_e = exp.ravel().tolist()
+    out = [pow(int(b), int(e), P) for b, e in zip(flat_b, flat_e)]
+    return np.array(out, dtype=np.uint64).reshape(base.shape)
+
+
+def _stage_twiddles(w_l: int, length: int) -> np.ndarray:
+    """DIF stage twiddles for a length-`length` transform with root w_l.
+
+    Stage t (t = 0..log2-1, half-size h = length >> (t+1)) multiplies the
+    odd output by w_l^((i mod h) << t); the table holds that value at every
+    absolute position i (even positions are never selected).  Shape
+    (length, n_stages) so an in-kernel [:, t:t+1] slice is already a
+    sublane column / [t:t+1, :] a lane row without any relayout.
+    """
+    k = length.bit_length() - 1
+    pows = np.array(_pow_list(w_l, max(length // 2, 1)), dtype=np.uint64)
+    tbl = np.empty((k, length), dtype=np.uint64)
+    idx = np.arange(length)
+    for t in range(k):
+        h = length >> (t + 1)
+        tbl[t] = pows[(idx & (h - 1)) << t]
+    return tbl
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_list(base: int, count: int) -> tuple:
+    out = [1] * count
+    cur = 1
+    for i in range(1, count):
+        cur = (cur * base) % P
+        out[i] = cur
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(log_n: int, inverse: bool):
+    """All host-side constant tables for the (log_n, inverse) transform."""
+    from vectorx_tpu.ntt.ntt import _root_of_unity
+
+    n = 1 << log_n
+    R, C = _split_rc(log_n)
+    w_n = _root_of_unity(log_n, inverse)
+    w_r = pow(w_n, C, P)
+    w_c = pow(w_n, R, P)
+
+    br_r = _bitrev(R.bit_length() - 1)
+    br_c = _bitrev(C.bit_length() - 1)
+
+    # inner stage twiddles, transposed to (R, kR): column slices are free
+    twi = _stage_twiddles(w_r, R).T.copy()
+    # outer stage twiddles, (kC, C): row slices are free
+    two = _stage_twiddles(w_c, C)
+    # mid twiddle at its stored position: W1[p][c] = w_n^(br_R(p)·c)
+    exps = np.outer(br_r, np.arange(C, dtype=np.int64))
+    w1 = _np_powmod(np.full((R, C), w_n, dtype=np.uint64),
+                    exps.astype(np.uint64))
+    # output digit-reversal: natural k = k1 + R·k2 lives at flat position
+    # br_R(k1)·C + br_C(k2) of the kernel output
+    k1 = np.arange(n) % R
+    k2 = np.arange(n) // R
+    perm = (br_r[k1] * C + br_c[k2]).astype(np.int32)
+
+    return (R, C, _np_limbs(twi), _np_limbs(two), _np_limbs(w1), perm)
+
+
+def _kernel(R: int, C: int, xl_ref, xh_ref, til_ref, tih_ref,
+            w1l_ref, w1h_ref, tol_ref, toh_ref, ol_ref, oh_ref):
+    xl = xl_ref[0]
+    xh = xh_ref[0]
+    row = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 1)
+
+    def dif_stage(xl, xh, idx, length, axis, t, twl, twh):
+        h = length >> (t + 1)
+        bit = (idx >> np.uint32(length.bit_length() - 2 - t)) & np.uint32(1)
+        odd = bit == np.uint32(1)
+        # partner(i) = i XOR h, via two circular rolls + select
+        dl = pltpu.roll(xl, h, axis=axis)
+        dh = pltpu.roll(xh, h, axis=axis)
+        ul = pltpu.roll(xl, length - h, axis=axis)
+        uh = pltpu.roll(xh, length - h, axis=axis)
+        pl_ = jnp.where(odd, dl, ul)
+        ph_ = jnp.where(odd, dh, uh)
+        sl, sh = gl.add(xl, xh, pl_, ph_)        # even: a + b
+        el, eh = gl.sub(pl_, ph_, xl, xh)        # odd:  a - b
+        ml, mh = gl.mul(el, eh, twl, twh)        # odd:  (a - b)·tw
+        return jnp.where(odd, ml, sl), jnp.where(odd, mh, sh)
+
+    for t in range(R.bit_length() - 1):          # inner: down sublanes
+        xl, xh = dif_stage(xl, xh, row, R, 0, t,
+                           til_ref[:, t:t + 1], tih_ref[:, t:t + 1])
+    xl, xh = gl.mul(xl, xh, w1l_ref[:], w1h_ref[:])
+    for t in range(C.bit_length() - 1):          # outer: along lanes
+        xl, xh = dif_stage(xl, xh, col, C, 1, t,
+                           tol_ref[t:t + 1, :], toh_ref[t:t + 1, :])
+    ol_ref[0] = xl
+    oh_ref[0] = xh
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def transform(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
+    """Same contract as ntt._transform: natural-order coefficients ->
+    natural-order evaluations over the size-n two-adic subgroup (and the
+    exact inverse map with inverse=True), batched over leading axes."""
+    n = 1 << log_n
+    assert lo.shape[-1] == n
+    R, C, (til, tih), (tol, toh), (w1l, w1h), perm = _tables(log_n, inverse)
+    batch = lo.shape[:-1]
+    b = 1
+    for d in batch:
+        b *= d
+    xl = lo.reshape(b, R, C)
+    xh = hi.reshape(b, R, C)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — local spec helper
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    ol, oh = pl.pallas_call(
+        functools.partial(_kernel, R, C),
+        grid=(b,),
+        in_specs=[blk, blk, full(til.shape), full(tih.shape),
+                  full(w1l.shape), full(w1h.shape),
+                  full(tol.shape), full(toh.shape)],
+        out_specs=[blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((b, R, C), jnp.uint32)] * 2,
+        interpret=interpret,
+    )(xl, xh, jnp.asarray(til), jnp.asarray(tih), jnp.asarray(w1l),
+      jnp.asarray(w1h), jnp.asarray(tol), jnp.asarray(toh))
+
+    ol = jnp.take(ol.reshape(b, n), jnp.asarray(perm), axis=-1)
+    oh = jnp.take(oh.reshape(b, n), jnp.asarray(perm), axis=-1)
+    if inverse:
+        n_inv = pow(n, P - 2, P)
+        ol, oh = gl.mul(ol, oh, jnp.uint32(n_inv & 0xFFFFFFFF),
+                        jnp.uint32(n_inv >> 32))
+    return ol.reshape(*batch, n), oh.reshape(*batch, n)
