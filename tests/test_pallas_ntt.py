@@ -30,6 +30,28 @@ def test_matches_xla_transform(log_n, inverse):
     assert (gl.to_u64(rl, rh) == gl.to_u64(pl_, ph)).all()
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_big_fourstep_matches_xla(inverse):
+    # transform_big's XLA-level four-step, shrunk to interpret scale
+    # (halves of 5+5 bits; on hardware it only runs with halves >= 10)
+    rng = np.random.default_rng(11)
+    log_n = 10
+    n = 1 << log_n
+    x = rng.integers(0, gl.P, size=(2, n), dtype=np.uint64)
+    lo, hi = gl.from_u64(x)
+    rl, rh = ntt_mod._transform(lo, hi, log_n, inverse)
+    bl, bh = pallas_ntt.transform_big(lo, hi, log_n, inverse, True)
+    assert (gl.to_u64(rl, rh) == gl.to_u64(bl, bh)).all()
+
+
+def test_supported_sizes():
+    assert not pallas_ntt.supported(9)
+    assert all(pallas_ntt.supported(k) for k in range(10, 19))
+    assert not pallas_ntt.supported(19)      # 9-bit half below kernel min
+    assert all(pallas_ntt.supported(k) for k in range(20, 25))
+    assert not pallas_ntt.supported(25)      # twiddle grid outgrows HBM use
+
+
 def test_roundtrip_and_leading_dims():
     rng = np.random.default_rng(3)
     n = 1 << 10

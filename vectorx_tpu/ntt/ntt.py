@@ -126,7 +126,7 @@ def _use_pallas(log_n: int) -> bool:
         return False
     from vectorx_tpu.ntt import pallas_ntt
 
-    if not (pallas_ntt.MIN_LOG_N <= log_n <= pallas_ntt.MAX_LOG_N):
+    if not pallas_ntt.supported(log_n):
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -141,7 +141,7 @@ def _transform(lo, hi, log_n: int, inverse: bool):
     if _use_pallas(log_n):
         from vectorx_tpu.ntt import pallas_ntt
 
-        return pallas_ntt.transform(lo, hi, log_n, inverse)
+        return pallas_ntt.transform_any(lo, hi, log_n, inverse)
     perm = _dev_bitrev(log_n)
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)

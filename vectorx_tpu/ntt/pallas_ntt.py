@@ -47,9 +47,21 @@ MIN_LOG_N = 10   # below this R < 8 sublanes: XLA path is fine anyway
 MAX_LOG_N = 18   # above this the (R, C) working set outgrows VMEM
 
 
+def supported(log_n: int) -> bool:
+    """Sizes the Pallas path covers: VMEM-resident single-kernel sizes,
+    plus big sizes four-stepped at the XLA level into two kernel passes
+    (both halves must themselves be kernel sizes, so 2^19 is excluded)."""
+    if MIN_LOG_N <= log_n <= MAX_LOG_N:
+        return True
+    hi_half = (log_n + 1) // 2
+    return (MAX_LOG_N < log_n <= 2 * MIN_LOG_N + 4
+            and log_n - hi_half >= MIN_LOG_N)
+
+
 def _split_rc(log_n: int) -> tuple[int, int]:
-    """n = R·C with C the lane dimension (128 or 256)."""
-    c_bits = 8 if log_n >= 16 else 7
+    """n = R·C with C the lane dimension (128 or 256 at real sizes; tiny
+    log_n only occurs in interpret-mode tests, where tiling is moot)."""
+    c_bits = 8 if log_n >= 16 else 7 if log_n >= MIN_LOG_N else (log_n + 1) // 2
     return 1 << (log_n - c_bits), 1 << c_bits
 
 
@@ -213,3 +225,67 @@ def transform(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
         ol, oh = gl.mul(ol, oh, jnp.uint32(n_inv & 0xFFFFFFFF),
                         jnp.uint32(n_inv >> 32))
     return ol.reshape(*batch, n), oh.reshape(*batch, n)
+
+
+def _dev_twiddle_grid(w_n: int, rows: int, cols: int):
+    """Device-built (rows, cols) table w_n^(r·c), literal-free.
+
+    Row r is the power series of w_n^r; built by column-doubling
+    (T[:, :2k] = T[:, :k] ++ T[:, :k]·base^k) so the trace holds only
+    O(log cols) ops over full-width arrays — the same discipline as
+    ntt._dev_powers, which keeps multi-MB tables out of the lowered HLO."""
+    from vectorx_tpu.ntt.ntt import _dev_powers
+
+    bl, bh = _dev_powers(w_n, rows)                    # base[r] = w_n^r
+    bl, bh = bl[:, None], bh[:, None]
+    tl = jnp.ones((rows, 1), jnp.uint32)
+    th = jnp.zeros((rows, 1), jnp.uint32)
+    k = 1
+    while k < cols:
+        sl, sh = gl.mul(tl, th, bl, bh)                # T[:, :k] · base^k
+        tl = jnp.concatenate([tl, sl], axis=1)
+        th = jnp.concatenate([th, sh], axis=1)
+        bl, bh = gl.sqr(bl, bh)                        # base^k -> base^2k
+        k *= 2
+    return tl[:, :cols], th[:, :cols]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def transform_big(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
+    """Four-step NTT at the XLA level for sizes past VMEM residency:
+    n = N1·N2 with both halves kernel sizes.  Two Pallas passes + one
+    twiddle pass + transposes, ~13 HBM passes total versus ~2·log2(n)
+    for the stage-by-stage path."""
+    from vectorx_tpu.ntt.ntt import _root_of_unity
+
+    n = 1 << log_n
+    assert lo.shape[-1] == n
+    log_r = log_n - (log_n + 1) // 2     # inner length (R), the short half
+    log_c = log_n - log_r                # outer length (C)
+    R, C = 1 << log_r, 1 << log_c
+    batch = lo.shape[:-1]
+    b = 1
+    for d in batch:
+        b *= d
+    # x[j], j = c + C·r  ->  M[b][r][c]; inner NTT is over r for each c
+    xl = lo.reshape(b, R, C).swapaxes(-1, -2)          # (b, C, R)
+    xh = hi.reshape(b, R, C).swapaxes(-1, -2)
+    xl, xh = transform(xl, xh, log_r, inverse, interpret)
+    w_n = _root_of_unity(log_n, inverse)
+    twl, twh = _dev_twiddle_grid(w_n, C, R)            # tw[c][k1] = w^(c·k1)
+    xl, xh = gl.mul(xl, xh, twl, twh)
+    xl = xl.swapaxes(-1, -2)                           # (b, R=k1, C=c)
+    xh = xh.swapaxes(-1, -2)
+    xl, xh = transform(xl, xh, log_c, inverse, interpret)
+    # V[k1][k2]: natural index k = k1 + R·k2  ->  transpose then flatten
+    ol = xl.swapaxes(-1, -2).reshape(*batch, n)
+    oh = xh.swapaxes(-1, -2).reshape(*batch, n)
+    return ol, oh
+
+
+def transform_any(lo, hi, log_n: int, inverse: bool,
+                  interpret: bool = False):
+    """Dispatch to the single-kernel or four-stepped path by size."""
+    if log_n <= MAX_LOG_N:
+        return transform(lo, hi, log_n, inverse, interpret)
+    return transform_big(lo, hi, log_n, inverse, interpret)
