@@ -153,12 +153,12 @@ def _tables(log_n: int, inverse: bool):
     return (R, C, _np_limbs(twi), _np_limbs(two), _np_limbs(w1), perm)
 
 
-def _kernel(R: int, C: int, xl_ref, xh_ref, til_ref, tih_ref,
+def _kernel(G: int, R: int, C: int, xl_ref, xh_ref, til_ref, tih_ref,
             w1l_ref, w1h_ref, tol_ref, toh_ref, ol_ref, oh_ref):
-    xl = xl_ref[0]
-    xh = xh_ref[0]
-    row = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 0)
-    col = jax.lax.broadcasted_iota(jnp.uint32, (R, C), 1)
+    xl = xl_ref[:]
+    xh = xh_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.uint32, (G, R, C), 1)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (G, R, C), 2)
 
     def dif_stage(xl, xh, idx, length, axis, t, twl, twh):
         h = length >> (t + 1)
@@ -177,14 +177,14 @@ def _kernel(R: int, C: int, xl_ref, xh_ref, til_ref, tih_ref,
         return jnp.where(odd, ml, sl), jnp.where(odd, mh, sh)
 
     for t in range(R.bit_length() - 1):          # inner: down sublanes
-        xl, xh = dif_stage(xl, xh, row, R, 0, t,
+        xl, xh = dif_stage(xl, xh, row, R, 1, t,
                            til_ref[:, t:t + 1], tih_ref[:, t:t + 1])
     xl, xh = gl.mul(xl, xh, w1l_ref[:], w1h_ref[:])
     for t in range(C.bit_length() - 1):          # outer: along lanes
-        xl, xh = dif_stage(xl, xh, col, C, 1, t,
+        xl, xh = dif_stage(xl, xh, col, C, 2, t,
                            tol_ref[t:t + 1, :], toh_ref[t:t + 1, :])
-    ol_ref[0] = xl
-    oh_ref[0] = xh
+    ol_ref[:] = xl
+    oh_ref[:] = xh
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -199,27 +199,37 @@ def transform(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
     b = 1
     for d in batch:
         b *= d
-    xl = lo.reshape(b, R, C)
-    xh = hi.reshape(b, R, C)
+    # rows per kernel block: amortize grid/pipeline overhead for short
+    # transforms while keeping the working set (in+out, 2 limbs each)
+    # comfortably inside VMEM (~2^19 elements ≙ 8 MB total)
+    g = max(1, min(b, (1 << 19) // n))
+    bp = -(-b // g) * g                      # pad rows to a multiple of g
+    xl = lo.reshape(b, n)
+    xh = hi.reshape(b, n)
+    if bp != b:
+        xl = jnp.pad(xl, ((0, bp - b), (0, 0)))
+        xh = jnp.pad(xh, ((0, bp - b), (0, 0)))
+    xl = xl.reshape(bp, R, C)
+    xh = xh.reshape(bp, R, C)
 
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — local spec helper
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    blk = pl.BlockSpec((1, R, C), lambda i: (i, 0, 0),
+    blk = pl.BlockSpec((g, R, C), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     ol, oh = pl.pallas_call(
-        functools.partial(_kernel, R, C),
-        grid=(b,),
+        functools.partial(_kernel, g, R, C),
+        grid=(bp // g,),
         in_specs=[blk, blk, full(til.shape), full(tih.shape),
                   full(w1l.shape), full(w1h.shape),
                   full(tol.shape), full(toh.shape)],
         out_specs=[blk, blk],
-        out_shape=[jax.ShapeDtypeStruct((b, R, C), jnp.uint32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bp, R, C), jnp.uint32)] * 2,
         interpret=interpret,
     )(xl, xh, jnp.asarray(til), jnp.asarray(tih), jnp.asarray(w1l),
       jnp.asarray(w1h), jnp.asarray(tol), jnp.asarray(toh))
 
-    ol = jnp.take(ol.reshape(b, n), jnp.asarray(perm), axis=-1)
-    oh = jnp.take(oh.reshape(b, n), jnp.asarray(perm), axis=-1)
+    ol = jnp.take(ol.reshape(bp, n)[:b], jnp.asarray(perm), axis=-1)
+    oh = jnp.take(oh.reshape(bp, n)[:b], jnp.asarray(perm), axis=-1)
     if inverse:
         n_inv = pow(n, P - 2, P)
         ol, oh = gl.mul(ol, oh, jnp.uint32(n_inv & 0xFFFFFFFF),
