@@ -128,10 +128,92 @@ def load_round_constants(path: str) -> None:
     _OVERRIDE["mds"] = mds
     _PARAMS_EPOCH += 1
     _params.cache_clear()
+    _fast_partial_params.cache_clear()
     # jitted callables bake the parameter tables in as constants
     permute.clear_cache()
     hash_no_pad.clear_cache()
     two_to_one.clear_cache()
+
+
+def _mat_inv_mod_p(m: list[list[int]]) -> list[list[int]]:
+    """Inverse of a small matrix over GF(p) by Gauss-Jordan (exact ints)."""
+    t = len(m)
+    a = [row[:] + [1 if i == j else 0 for j in range(t)]
+         for i, row in enumerate(m)]
+    for col in range(t):
+        piv = next(r for r in range(col, t) if a[r][col] % P != 0)
+        a[col], a[piv] = a[piv], a[col]
+        inv = pow(a[col][col], P - 2, P)
+        a[col] = [(x * inv) % P for x in a[col]]
+        for r in range(t):
+            if r != col and a[r][col]:
+                f = a[r][col]
+                a[r] = [(x - f * y) % P for x, y in zip(a[r], a[col])]
+    return [row[t:] for row in a]
+
+
+def _mat_vec(m, v):
+    return [sum(mi * vi for mi, vi in zip(row, v)) % P for row in m]
+
+
+def _mat_mul(a, b):
+    t = len(a)
+    return [[sum(a[i][k] * b[k][j] for k in range(t)) % P for j in range(t)]
+            for i in range(t)]
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_partial_params():
+    """Sparse decomposition of the partial-round chain (Poseidon paper
+    App. B; plonky2's `poseidon::partial_rounds` fast path).
+
+    Each partial round's dense MDS matvec (144 muls) is replaced by a
+    sparse matrix ρ_i (first row arbitrary, first column arbitrary,
+    identity elsewhere: 23 muls), with ONE leftover dense matrix σ_last
+    applied after the chain and the round constants transformed to match.
+    Bit-exact with the naive chain: round i's map is M·sbox0·(+c_i);
+    decomposing N_i = σ_i·ρ_i (N_0 = M, N_{i+1} = M·σ_i) and commuting
+    σ through sbox0 (it fixes lane 0) gives
+        chain = σ_last · Π_i [ρ_i · sbox0 · (+c_i')],  c_i' = σ_{i-1}^{-1}c_i.
+    """
+    rc = _OVERRIDE["rc"] or _generated_round_constants()
+    mds = _OVERRIDE["mds"] or _generated_mds()
+    m = [list(row) for row in mds]
+    half = FULL_ROUNDS // 2
+    cs = [list(rc[(half + i) * WIDTH:(half + i + 1) * WIDTH])
+          for i in range(PARTIAL_ROUNDS)]
+
+    rho_v, rho_w, c_prime = [], [], []
+    n = m
+    prev_inv_hat = None
+    for i in range(PARTIAL_ROUNDS):
+        n_hat = [row[1:] for row in n[1:]]
+        omega = [row[0] for row in n[1:]]
+        nu = n[0][1:]
+        n_hat_inv = _mat_inv_mod_p(n_hat)
+        w_hat = _mat_vec(n_hat_inv, omega)
+        rho_v.append([n[0][0]] + nu)            # first row of ρ_i
+        rho_w.append(w_hat)                     # first column (below) of ρ_i
+        if i == 0:
+            c_prime.append(cs[0])
+        else:
+            c_prime.append([cs[i][0]] + _mat_vec(prev_inv_hat, cs[i][1:]))
+        prev_inv_hat = n_hat_inv
+        # σ_i = blockdiag(1, N̂_i);  N_{i+1} = M · σ_i
+        sigma = [[1 if (r == 0 and c == 0) else 0 for c in range(WIDTH)]
+                 for r in range(WIDTH)]
+        for r in range(1, WIDTH):
+            for c in range(1, WIDTH):
+                sigma[r][c] = n_hat[r - 1][c - 1]
+        n = _mat_mul(m, sigma)
+        sigma_last = sigma                      # σ of the LAST decomposition
+
+    def split(a):
+        a = np.array(a, dtype=np.uint64)
+        return ((a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (a >> np.uint64(32)).astype(np.uint32))
+
+    return (split(rho_v), split(rho_w), split(c_prime), split(sigma_last))
 
 
 @functools.lru_cache(maxsize=None)
@@ -195,22 +277,41 @@ def permute(lo, hi):
         lo, hi = _mds_layer(lo, hi, mds)
         return (lo, hi), None
 
-    def partial_round(state, rc):
+    (vl, vh), (wl, wh), (cl_, ch_), (sgl, sgh) = _fast_partial_params()
+
+    def partial_round(state, per):
+        """Sparse partial round: +c', sbox on lane 0, ρ matvec (23 muls —
+        the dense-MDS residue is the single σ_last matvec after the scan)."""
         lo, hi = state
-        lo, hi = gl.add(lo, hi, rc[0], rc[1])
+        pvl, pvh, pwl, pwh, pcl, pch = per
+        lo, hi = gl.add(lo, hi, pcl, pch)
         s0l, s0h = _sbox(lo[..., :1], hi[..., :1])
         lo = jnp.concatenate([s0l, lo[..., 1:]], axis=-1)
         hi = jnp.concatenate([s0h, hi[..., 1:]], axis=-1)
-        lo, hi = _mds_layer(lo, hi, mds)
-        return (lo, hi), None
+        # out0 = ρ_row0 · s (tree-summed); out_{1:} = s_{1:} + ŵ·s0
+        pl, ph = gl.mul(lo, hi, pvl, pvh)
+        while pl.shape[-1] > 1:
+            h2 = pl.shape[-1] // 2
+            sl_, sh_ = gl.add(pl[..., :h2], ph[..., :h2],
+                              pl[..., h2:2 * h2], ph[..., h2:2 * h2])
+            if pl.shape[-1] % 2:
+                sl_ = jnp.concatenate([sl_, pl[..., -1:]], axis=-1)
+                sh_ = jnp.concatenate([sh_, ph[..., -1:]], axis=-1)
+            pl, ph = sl_, sh_
+        tl, th = gl.mul(s0l, s0h, pwl, pwh)
+        rl, rh = gl.add(lo[..., 1:], hi[..., 1:], tl, th)
+        return (jnp.concatenate([pl, rl], axis=-1),
+                jnp.concatenate([ph, rh], axis=-1)), None
 
     rcl = jnp.asarray(rcl)
     rch = jnp.asarray(rch)
     st = (lo, hi)
     st, _ = jax.lax.scan(full_round, st, (rcl[:half], rch[:half]))
     st, _ = jax.lax.scan(partial_round, st,
-                         (rcl[half:half + PARTIAL_ROUNDS],
-                          rch[half:half + PARTIAL_ROUNDS]))
+                         (jnp.asarray(vl), jnp.asarray(vh),
+                          jnp.asarray(wl), jnp.asarray(wh),
+                          jnp.asarray(cl_), jnp.asarray(ch_)))
+    st = _mds_layer(st[0], st[1], (jnp.asarray(sgl), jnp.asarray(sgh)))
     st, _ = jax.lax.scan(full_round, st, (rcl[half + PARTIAL_ROUNDS:],
                                           rch[half + PARTIAL_ROUNDS:]))
     return st
