@@ -21,6 +21,13 @@ if os.environ.get("VECTORX_TEST_TPU", "0") != "1":
     # (e.g. an evidence driver) holding the chip, any pallas_call — even
     # interpret-mode — would otherwise block on the claim instead of
     # running locally.
+    #
+    # CAVEAT: when sitecustomize performs the claim at interpreter startup
+    # (PALLAS_AXON_REMOTE_COMPILE=1 environments), this assignment runs too
+    # late — the interpreter already blocked before pytest loaded.  To run
+    # the suite WHILE another process holds the TPU, clear the env at the
+    # shell level instead:
+    #   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/ -q
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
