@@ -89,6 +89,35 @@ def _run_body(out_path: str, platform: str) -> None:
     extras["ntt_ms"] = round(ntt_ms, 3)
     extras["dispatch_overhead_ms"] = round(t1 * 1e3 - ntt_ms, 1)
 
+    # Pallas single-pass NTT (ntt/pallas_ntt.py), same marginal-cost
+    # timing + a bit-exactness check against the XLA path.  TPU-only:
+    # Mosaic lowering has no CPU backend.  Full sweep: drive_pallas_ntt.py.
+    if big:
+        try:
+            from vectorx_tpu.ntt import pallas_ntt
+
+            def pal_reps(lo, hi, k):
+                for _ in range(k):
+                    lo, hi = pallas_ntt.transform_any(lo, hi, log_n, False)
+                return jnp.sum(lo, dtype=jnp.uint32)
+
+            g1 = jax.jit(lambda a, b: pal_reps(a, b, 1))
+            gK = jax.jit(lambda a, b: pal_reps(a, b, K))
+            pal_l, pal_h = pallas_ntt.transform_any(pl_, ph_, log_n, False)
+            ref_l, ref_h = ntt(pl_, ph_)
+            exact = (bool(jnp.array_equal(pal_l, ref_l))
+                     and bool(jnp.array_equal(pal_h, ref_h)))
+            t1p, _ = _timed(g1, pl_, ph_)
+            tKp, _ = _timed(gK, pl_, ph_)
+            pal_ms = (tKp - t1p) / (K - 1) * 1e3
+            extras["ntt_pallas_ms"] = round(pal_ms, 3)
+            extras["ntt_pallas_gelem_s"] = round(
+                B * n / (pal_ms / 1e3) / 1e9, 4)
+            extras["ntt_pallas_bit_exact"] = exact
+            extras["ntt_pallas_speedup_vs_xla"] = round(ntt_ms / pal_ms, 2)
+        except Exception as e:  # noqa: BLE001 — kernel path is best-effort
+            extras["ntt_pallas_error"] = f"{type(e).__name__}: {e}"
+
     # --- Poseidon permutation throughput -----------------------------------
     H = 1 << (16 if big else 13)
     st = rng.integers(0, gl.P, size=(H, 12), dtype=np.uint64)

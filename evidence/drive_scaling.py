@@ -36,6 +36,7 @@ from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 enable_persistent_cache()
 
 from vectorx_tpu.field import goldilocks as gl          # noqa: E402
+from vectorx_tpu.parallel.comm_model import four_step_comm  # noqa: E402
 from vectorx_tpu.parallel.ntt_sharded import four_step_ntt  # noqa: E402
 
 
@@ -72,10 +73,20 @@ def main():
         if base is None:
             base = t
         eff = base / (t * d)
+        # analytic ICI bound (parallel/comm_model.py): the one all-to-all
+        # moves (p-1)/p of the poly once; on a real v5p slice its transfer
+        # floor is microseconds at this size, i.e. the transform stays
+        # compute-bound and >=80% scaling is structurally attainable.
+        m = four_step_comm(n, d) if d > 1 else None
         results["ntt_four_step"][str(d)] = {
             "seconds": round(t, 4),
             "speedup": round(base / t, 3),
             "efficiency": round(eff, 3),
+            "analytic_egress_bytes_per_device":
+                (m.egress_bytes_per_device if m else 0),
+            "analytic_total_ici_bytes": (m.total_ici_bytes if m else 0),
+            "analytic_ici_floor_us":
+                (round(m.transfer_floor_s * 1e6, 2) if m else 0.0),
         }
         print(f"devices={d}: {t*1e3:.1f} ms, speedup {base/t:.2f}, "
               f"efficiency {eff:.2f}", flush=True)

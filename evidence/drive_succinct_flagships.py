@@ -18,9 +18,14 @@ Writes  evidence/succinct_flagships.json (section-checkpointed).
 
 import dataclasses
 import json
+import logging
 import os
 import sys
 import time
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(name)s: %(message)s")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -49,6 +49,7 @@ the reference instead fixes MAX_HEADER_SIZE and witnesses the size
 from __future__ import annotations
 
 import hashlib
+import logging
 from dataclasses import dataclass
 
 from vectorx_tpu import scale
@@ -76,6 +77,9 @@ from vectorx_tpu.stark.verifier import verify
 MAX_CHILD_ROWS = 1 << 14
 
 _LADDER_ROWS_PER_SIG = 4 * 253 + 4
+
+
+log = logging.getLogger(__name__)
 
 
 def _blake_rows(length: int) -> int:
@@ -484,11 +488,15 @@ def prove_header_range_succinct(fetcher, input_bytes: bytes,
     # ---- child proofs, in tape order --------------------------------------
     proofs = []
     lens = stmt["header_lens"]
+    log.info("header_range prove: %d headers, tree_size=%d — child proofs",
+             len(headers), tree_size)
     pos = 0
     for csz in chunk_by_rows(lens, _blake_rows, MAX_CHILD_ROWS):
         air = Blake2bAir(headers[pos:pos + csz], bind="public")
         proofs.append(prove(air, air.build_trace(), config))
         pos += csz
+        log.info("  blake2b children: %d/%d headers (%d proofs so far)",
+                 pos, len(headers), len(proofs))
 
     def tree_proofs(leaves):
         level = list(leaves) + [b"\x00" * 32] * pad
@@ -506,7 +514,9 @@ def prove_header_range_succinct(fetcher, input_bytes: bytes,
             level = nxt
 
     tree_proofs(state_leaves)
+    log.info("  state-root tree children done (%d proofs)", len(proofs))
     tree_proofs(data_leaves)
+    log.info("  data-root tree children done (%d proofs)", len(proofs))
 
     pks = stmt["pubkeys"][:stmt["num_authorities"]]
     acc = b""
@@ -522,6 +532,7 @@ def prove_header_range_succinct(fetcher, input_bytes: bytes,
         proofs.append(prove(air, air.build_trace(), config))
         si += csz
 
+    log.info("  authority-commitment children done (%d proofs)", len(proofs))
     msgs, sha_airs, ladder_airs = _justification_children(stmt)
     pos = 0
     for s_air in sha_airs:
@@ -531,13 +542,16 @@ def prove_header_range_succinct(fetcher, input_bytes: bytes,
     for l_air in ladder_airs:
         live = Ed25519LadderAir(l_air.sigs)
         proofs.append(prove(live, live.build_trace(), config))
+    log.info("  justification children done (%d proofs total)", len(proofs))
 
     # ---- the ONE machine proof --------------------------------------------
     b = Builder(witness=True)
     _range_tape(b, stmt, config, _ProofCursor(proofs), headers)
     prog = compile_tape(b)
     mair = MachineAir(prog)
+    log.info("  machine proof: %d rows x %d cols", mair.n, mair.width)
     machine_proof = prove(mair, mair.build_trace(), outer_config)
+    log.info("header_range prove: done")
     # seed the machine-VK cache so the first verify skips tape re-derivation
     progcache.put(_stmt_prog_key(stmt, config), prog)
     return SuccinctHeaderRangeProof(

@@ -32,6 +32,7 @@ the header BYTES are hidden.  Positions/lengths are shape metadata.
 from __future__ import annotations
 
 import hashlib
+import logging
 from dataclasses import dataclass
 
 from vectorx_tpu import scale
@@ -54,6 +55,8 @@ from vectorx_tpu.stark.prover import StarkConfig, prove
 from vectorx_tpu.stark.sha256_air import Sha256Air, sha256_pad
 from vectorx_tpu.stark.sha512_air import Sha512Air
 from vectorx_tpu.stark.verifier import verify
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -276,6 +279,8 @@ def prove_rotate_succinct(fetcher, input_bytes: bytes,
 
     # ---- child proofs, in tape order --------------------------------------
     proofs = []
+    log.info("rotate prove: %d-B epoch-end header, %d authorities — "
+             "child proofs", len(header), rd.num_authorities)
     air = Blake2bAir([header], bind="public")
     assert air.digest_bytes_list()[0] == \
         scale.decode_precommit(j.signed_message)[0]
@@ -304,13 +309,17 @@ def prove_rotate_succinct(fetcher, input_bytes: bytes,
     for l_air in ladder_airs:
         live = Ed25519LadderAir(l_air.sigs)
         proofs.append(prove(live, live.build_trace(), config))
+    log.info("rotate prove: %d child proofs done", len(proofs))
 
     # ---- the ONE machine proof --------------------------------------------
     b = Builder(witness=True)
     _rotate_tape(b, stmt, config, _ProofCursor(proofs), header)
     prog = compile_tape(b)
     mair = MachineAir(prog)
+    log.info("rotate prove: machine proof %d rows x %d cols",
+             mair.n, mair.width)
     machine_proof = prove(mair, mair.build_trace(), outer_config)
+    log.info("rotate prove: done")
     # seed the machine-VK cache so the first verify skips tape re-derivation
     progcache.put(_stmt_prog_key(stmt, config), prog)
     return SuccinctRotateProof(
