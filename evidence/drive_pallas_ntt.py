@@ -32,7 +32,11 @@ import jax.numpy as jnp  # noqa: E402
 
 from vectorx_tpu.field import goldilocks as gl  # noqa: E402
 from vectorx_tpu.ntt import pallas_ntt  # noqa: E402
-from vectorx_tpu.ntt.ntt import _transform  # noqa: E402
+# the NON-dispatching XLA entry point: transform_any above bypasses the
+# VECTORX_PALLAS_NTT gate, and _transform_xla can never route to Pallas —
+# so this comparison cannot degrade to Pallas-vs-Pallas no matter what the
+# shell exports (round-4 ADVICE, high)
+from vectorx_tpu.ntt.ntt import _transform_xla  # noqa: E402
 
 
 def _timed_marginal(f, k_hi=5, iters=5):
@@ -54,9 +58,6 @@ def main():
     rec = {"device": str(dev), "platform": dev.platform, "sizes": {}}
     rng = np.random.default_rng(11)
 
-    # force the gate on for this process regardless of its default
-    os.environ["VECTORX_PALLAS_NTT"] = "1"
-
     for log_n, batch in ((12, 512), (14, 256), (16, 64), (18, 16), (20, 4)):
         n = 1 << log_n
         poly = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
@@ -65,7 +66,7 @@ def main():
 
         # bit-exactness: Pallas vs XLA stage-by-stage, forward + inverse
         pal_l, pal_h = pallas_ntt.transform_any(lo, hi, log_n, False)
-        xla_l, xla_h = _transform(lo, hi, log_n, False)
+        xla_l, xla_h = _transform_xla(lo, hi, log_n, False)
         fwd_ok = (np.array_equal(np.asarray(pal_l), np.asarray(xla_l))
                   and np.array_equal(np.asarray(pal_h), np.asarray(xla_h)))
         inv_l, inv_h = pallas_ntt.transform_any(pal_l, pal_h, log_n, True)
@@ -82,7 +83,7 @@ def main():
         @jax.jit
         def xla_reps(lo, hi, k):
             def body(_, c):
-                return _transform(c[0], c[1], log_n, False)
+                return _transform_xla(c[0], c[1], log_n, False)
             l, h = jax.lax.fori_loop(0, k, body, (lo, hi))
             return jnp.sum(l, dtype=jnp.uint32)
 

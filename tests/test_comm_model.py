@@ -10,7 +10,7 @@ from jax.sharding import Mesh
 
 from vectorx_tpu.field import goldilocks as gl
 from vectorx_tpu.parallel.comm_model import (
-    ELEM_BYTES, collective_counts, four_step_comm)
+    ELEM_BYTES, collective_counts, collective_op_defs, four_step_comm)
 from vectorx_tpu.parallel.ntt_sharded import four_step_ntt
 
 
@@ -51,10 +51,16 @@ def test_compiled_hlo_matches_model():
         lambda l, h: four_step_ntt(l, h, mesh)).lower(lo, hi)
     hlo = lowered.compile().as_text()
     counts = collective_counts(hlo)
-    # one tiled all_to_all per limb plane; XLA may fuse them into one op
-    # (each HLO op also appears in metadata lines, hence <=, >=1)
+    # substring census: no non-all-to-all collective anywhere (metadata
+    # included — a zero here is a zero everywhere)
     assert counts["all_to_all"] >= 1, counts
     assert counts["all_reduce"] == 0, counts
     assert counts["all_gather"] == 0, counts
     assert counts["reduce_scatter"] == 0, counts
     assert counts["collective_permute"] == 0, counts
+    # op-DEFINITION census pins the UPPER bound: one tiled all_to_all per
+    # limb plane (XLA may fuse the two planes into one op), and nothing
+    # may add a third — an extra resharding transpose must fail here
+    # (round-4 ADVICE, medium).
+    defs = collective_op_defs(hlo)
+    assert 1 <= defs["all_to_all"] <= 2, defs

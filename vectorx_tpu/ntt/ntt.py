@@ -135,13 +135,13 @@ def _use_pallas(log_n: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _transform(lo, hi, log_n: int, inverse: bool):
+def _transform_xla(lo, hi, log_n: int, inverse: bool):
+    """Stage-by-stage XLA butterfly transform — the non-dispatching
+    reference path.  Benchmarks and the Pallas-validation driver pin to
+    this entry point so a Pallas-vs-XLA comparison can never silently
+    become Pallas-vs-Pallas (round-4 ADVICE, high)."""
     n = 1 << log_n
     assert lo.shape[-1] == n
-    if _use_pallas(log_n):
-        from vectorx_tpu.ntt import pallas_ntt
-
-        return pallas_ntt.transform_any(lo, hi, log_n, inverse)
     perm = _dev_bitrev(log_n)
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)
@@ -170,6 +170,19 @@ def _transform(lo, hi, log_n: int, inverse: bool):
         ch = jnp.uint32(n_inv >> 32)
         lo, hi = gl.mul(lo, hi, cl, ch)
     return lo, hi
+
+
+def _transform(lo, hi, log_n: int, inverse: bool):
+    """Dispatching transform: Pallas kernel when the gate + size + platform
+    allow it, else the stage-by-stage XLA path.  The dispatch decision is
+    made OUTSIDE any jit cache of its own (the two branches carry their own
+    jits), so flipping VECTORX_PALLAS_NTT between calls can never serve a
+    stale cached branch."""
+    if _use_pallas(log_n):
+        from vectorx_tpu.ntt import pallas_ntt
+
+        return pallas_ntt.transform_any(lo, hi, log_n, inverse)
+    return _transform_xla(lo, hi, log_n, inverse)
 
 
 def ntt(lo, hi):

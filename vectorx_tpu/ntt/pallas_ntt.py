@@ -24,9 +24,12 @@ elementwise work.  Net HBM traffic: ~2 passes (+1 for the gather) versus
 ~2·log2(n) for the stage-by-stage path.
 
 Replaces the hot polynomial transform of the reference proving stack
-(plonky2 `fft`/`coset_lde` — SURVEY.md §2 E1); `ntt._transform` dispatches
-here on TPU for 2^10 ≤ n ≤ 2^18 (VMEM-resident sizes).  Disable with
-VECTORX_PALLAS_NTT=0.
+(plonky2 `fft`/`coset_lde` — SURVEY.md §2 E1).  Dispatch: `ntt._transform`
+routes here on real TPU for supported sizes ONLY when the
+VECTORX_PALLAS_NTT gate allows it (see `ntt._use_pallas` for the current
+default); `transform_any` below is the direct, ungated entry point.
+On-chip bit-exactness + timing evidence: evidence/drive_pallas_ntt.py →
+evidence/pallas_ntt.json.
 """
 
 from __future__ import annotations

@@ -62,8 +62,13 @@ def four_step_comm(n: int, p: int,
     """
     assert n % p == 0
     local = n // p
+    # local % p == 0 holds for every four_step_ntt shape (N and p are
+    # powers of two with p² ≤ N); assert it so the two integer divisions
+    # below are exact and total == egress · p identically (round-4 ADVICE).
+    assert local % p == 0, "four-step layout needs p² | N"
     egress = local * (p - 1) // p * ELEM_BYTES
     total = n * (p - 1) // p * ELEM_BYTES
+    assert total == egress * p
     return NttCommModel(
         n=n, p=p,
         egress_bytes_per_device=egress,
@@ -88,3 +93,32 @@ def collective_counts(hlo_text: str) -> dict:
         "reduce_scatter": t.count("reduce-scatter"),
         "collective_permute": t.count("collective-permute"),
     }
+
+
+import re  # noqa: E402
+
+# An HLO op DEFINITION line looks like
+#   %name = <shape-or-tuple-type> all-to-all(%op0, %op1, ...)
+# (tuple types contain spaces, so the type is matched lazily).  Operand
+# references (`get-tuple-element(%all-to-all.1)`) and metadata op_name
+# attributes never have the `kind(` form at that position, so this counts
+# real ops only.
+_OP_DEF = re.compile(
+    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*.+?\s(all-to-all|all-reduce|all-gather|"
+    r"reduce-scatter|collective-permute)(?:-start)?\(")
+
+
+def collective_op_defs(hlo_text: str) -> dict:
+    """Count collective ops at the op-DEFINITION position (excluding
+    metadata mentions and operand references), so tests can assert an
+    UPPER bound too: a regression that doubles the all-to-all count
+    (e.g. an extra resharding transpose) must fail the pin (round-4
+    ADVICE, medium).  Async -start/-done pairs count once (the -start;
+    -done doesn't match)."""
+    counts = {"all_to_all": 0, "all_reduce": 0, "all_gather": 0,
+              "reduce_scatter": 0, "collective_permute": 0}
+    for line in hlo_text.splitlines():
+        m = _OP_DEF.match(line)
+        if m:
+            counts[m.group(1).replace("-", "_")] += 1
+    return counts
