@@ -61,6 +61,16 @@ def _cfg(args):
                                      pow_bits=pw)), q, pw
 
 
+def _peak_hbm_gb():
+    """Device peak-bytes-in-use (TPU allocator stat), for the record."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:  # noqa: BLE001 — stat support varies by backend
+        return None
+
+
 def run_header_range(cfg, tree: int, header_bytes: int):
     from vectorx_tpu.circuits.succinct_header_range import (
         prove_header_range_succinct, verify_header_range_succinct)
@@ -94,6 +104,7 @@ def run_header_range(cfg, tree: int, header_bytes: int):
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
         "tamper_check_s": round(t3 - t2, 1),
+        "peak_hbm_gb": _peak_hbm_gb(),
         "verified": ok, "tamper_rejected": rej,
     }
 
@@ -127,6 +138,7 @@ def run_rotate(cfg, header_bytes: int):
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
         "tamper_check_s": round(t3 - t2, 1),
+        "peak_hbm_gb": _peak_hbm_gb(),
         "verified": ok, "tamper_rejected": rej,
     }
 
@@ -191,7 +203,8 @@ def main():
                 rec = run_rotate(cfg, hb)
         except Exception as e:  # noqa: BLE001 — record failures honestly
             rec = {"error": f"{type(e).__name__}: {e}",
-                   "elapsed_s": round(time.time() - t0, 1)}
+                   "elapsed_s": round(time.time() - t0, 1),
+                   "peak_hbm_gb": _peak_hbm_gb()}
         record["sections"][name] = rec
         checkpoint()
         print(name, json.dumps(rec)[:300], flush=True)

@@ -511,10 +511,19 @@ def _composition_fn(air, config, public, boundaries, x_last, roll, K):
 # ---------------------------------------------------------------------------
 
 def _fri_prove_staged(L, log_len: int, shift: int, config: FriConfig,
-                      challenger: Challenger):
+                      challenger: Challenger, spill: bool = False):
     """Fold-and-commit layers on device.  Returns (FriProof without query
-    rounds, [(codeword_device, DeviceTree)] per layer) — query openings are
-    gathered in bulk by `stages.open_positions` afterwards."""
+    rounds, layers) — query openings are gathered in bulk afterwards.
+
+    spill=False: layers are [(codeword_device, DeviceTree)] for the bulk
+    device gather (`stages.open_positions`).  spill=True (the streamed
+    huge-proof path): each layer's codeword + tree are immediately moved
+    to HOST numpy ([( (c0,c1) u64, HostTree )]) so the full ladder of FRI
+    codewords/trees (~96 bytes/point summed over layers) never stands in
+    HBM — the round-4 tree=16 flagship OOMed holding exactly this
+    (16.13 G peak on a 15.75 G v5e).  Spilled values are the same
+    canonical u64s the device gather would produce: proof bytes are
+    BIT-IDENTICAL."""
     dev_layers = []
     caps = []
     c = L
@@ -524,12 +533,18 @@ def _fri_prove_staged(L, log_len: int, shift: int, config: FriConfig,
     while n > config.final_poly_len << config.rate_bits:
         tree = stages.fri_commit_layer(
             c, cur_log, min(config.cap_height, cur_log - 1))
-        dev_layers.append((c, tree))
+        if spill:
+            tree = stages.HostTree.from_device(tree)
         cap = tree.cap_ints()
         caps.append(cap)
         challenger.observe_cap(cap)
         beta = challenger.get_extension_challenge()
-        c = stages.fri_fold(c, beta, cur_log, cur_shift)
+        c_next = stages.fri_fold(c, beta, cur_log, cur_shift)
+        if spill:
+            dev_layers.append((stages.spill_codeword(c), tree))
+        else:
+            dev_layers.append((c, tree))
+        c = c_next
         cur_shift = (cur_shift * cur_shift) % P
         cur_log -= 1
         n >>= 1
@@ -601,9 +616,14 @@ def prove(air: Air, trace_u64: np.ndarray, config: StarkConfig = StarkConfig(),
     K = consts_u64.shape[0]
     const_tree, const_lde, const_coeff = preprocess(air, config, consts_u64)
     if const_tree is not None and const_lde is None:
-        # preprocess streamed its commitment (huge AIR) but this path was
-        # forced (e.g. trace_sharding): materialize the LDE it skipped
-        const_lde = stages.lde_rows(*const_coeff, rate)
+        # preprocess streamed its commitment (huge AIR, host-spilled tree)
+        # but this path was forced (e.g. trace_sharding): rebuild the full
+        # device commitment so the bulk device gather below can open it
+        # (bit-identical tree — regression-locked streamed/unstreamed)
+        _, const_lde, const_tree2 = stages.commit_rows(
+            *const_coeff, rate_bits=rate, cap_height=cap_h, do_intt=False)
+        assert const_tree2.cap_ints() == const_tree.cap_ints()
+        const_tree = const_tree2
     if const_tree is not None:
         challenger.observe_cap(const_tree.cap_ints())
 
@@ -831,10 +851,15 @@ def prove_streamed(air: Air, trace_u64: np.ndarray,
             deltas = challenger.get_n_challenges(NUM_LOOKUP_SETS)
         ccl, cch = gl.from_u64(consts_u64)
         axl, axh = aux_witness(air, tl, th, ccl, cch, betas, deltas)
+        del ccl, cch
         aux_coeff = stages.to_coeffs(axl, axh)
+        del axl, axh
         aux_tree = stages.commit_streamed(aux_coeff[0], aux_coeff[1],
                                           log_N, cap_h)
         challenger.observe_cap(aux_tree.cap_ints())
+    # evaluation-form trace rows are no longer needed: everything
+    # downstream reads the coefficient groups (frees (W, n) limb pairs)
+    del tl, th
 
     # ---- constraint composition, coset by coset ---------------------------
     alpha = challenger.get_extension_challenge()
@@ -937,9 +962,11 @@ def prove_streamed(air: Air, trace_u64: np.ndarray,
             L_parts[i].append(L_c[i])
     L = tuple(_interleave_cosets(p) for p in L_parts)
 
-    # ---- FRI ---------------------------------------------------------------
-    fri_proof, fri_dev = _fri_prove_staged(L, log_N, gl.GENERATOR,
-                                           config.fri, challenger)
+    # ---- FRI (codewords + trees host-spilled as folding proceeds) ---------
+    fri_proof, fri_host = _fri_prove_staged(L, log_N, gl.GENERATOR,
+                                            config.fri, challenger,
+                                            spill=True)
+    del L
     indices = derive_query_indices(challenger, log_N,
                                    config.fri.num_queries)
 
@@ -968,8 +995,9 @@ def prove_streamed(air: Air, trace_u64: np.ndarray,
         trees.append(const_tree)
     if aux_coeff is not None:
         trees.append(aux_tree)
-    _, g_paths, fri_pairs, fri_paths = stages.open_positions(
-        indices, [], trees, fri_dev)
+    # every tree + FRI layer lives on host now: paths/pairs gather in numpy
+    g_paths, fri_pairs, fri_paths = stages.open_positions_host(
+        indices, trees, fri_host)
     Q = len(indices)
 
     def openings(name, paths):

@@ -260,11 +260,16 @@ def hash_rows_leaves(el, eh):
     return cached_jit(key, build)(el, eh)
 
 
-def commit_streamed(cl, ch, log_N: int, cap_height: int) -> DeviceTree:
+def commit_streamed(cl, ch, log_N: int, cap_height: int) -> "HostTree":
     """Merkle tree over the LDE leaves of coefficient rows (rows, n), one
     stride-`blowup` coset at a time (1/blowup peak memory): hash each
     coset's n leaves, interleave the digests (leaf j = blowup·t + c ↔
-    coset c position t), build layers."""
+    coset c position t), build layers.
+
+    The finished digest layers are SPILLED to host (HostTree): on the
+    streamed path commitments are only re-read at Q≈28 query positions,
+    and keeping 3-4 full trees device-resident is what OOMed the round-4
+    tree=16 flagship."""
     blowup = (1 << log_N) // cl.shape[-1]
     digs = []
     for c in range(blowup):
@@ -280,13 +285,104 @@ def commit_streamed(cl, ch, log_N: int, cap_height: int) -> DeviceTree:
 
         return jax.jit(fn)
 
-    return DeviceTree(cached_jit(key, build)(digs), cap_height)
+    return HostTree.from_device(
+        DeviceTree(cached_jit(key, build)(digs), cap_height))
 
 
 def coset_shift(c: int, log_N: int) -> int:
     """Shift of the c-th stride-`blowup` coset: LDE index j = blowup·t + c
     is the point g·w_N^c·w_n^t."""
     return (gl.GENERATOR * pow(_root_of_unity(log_N, inverse=False), c, P)) % P
+
+
+# ---------------------------------------------------------------------------
+# Host-spilled commitments (bounds peak HBM for huge streamed proofs)
+# ---------------------------------------------------------------------------
+
+class HostTree:
+    """Merkle digest layers spilled to HOST numpy as canonical (n, 4)
+    uint64 arrays — same duck type as DeviceTree for `cap_ints()`; query
+    paths are gathered host-side (`open_paths`).
+
+    Why: commitment trees and FRI layers are write-once then read at only
+    Q≈28 positions, so they don't earn device residency.  The round-4
+    tree=16 flagship held every tree + every FRI codeword on device until
+    the bulk-open stage and OOMed a 15.75 G v5e at 16.13 G
+    (evidence/succinct_flagships.json); spilling them caps the streamed
+    prover's standing HBM at the coefficient groups + one stage's
+    transients.  Proof bytes are BIT-IDENTICAL: the spilled values are the
+    canonicalized u64s the device gather produced before."""
+
+    __slots__ = ("layers", "cap_height", "_cap")
+
+    def __init__(self, layers, cap_height: int):
+        self.layers = layers          # list[np.ndarray (n, 4) uint64]
+        self.cap_height = cap_height
+        self._cap = None
+
+    @classmethod
+    def from_device(cls, tree: DeviceTree) -> "HostTree":
+        host = []
+        for (lo, hi) in tree.layers:
+            cl, chh = jax.jit(gl.canonicalize)(lo, hi)
+            l64 = np.asarray(jax.device_get(cl), dtype=np.uint64)
+            h64 = np.asarray(jax.device_get(chh), dtype=np.uint64)
+            host.append(l64 | (h64 << np.uint64(32)))
+        return cls(host, tree.cap_height)
+
+    def cap_ints(self) -> list[list[int]]:
+        if self._cap is None:
+            self._cap = [[int(x) for x in row] for row in self.layers[-1]]
+        return self._cap
+
+    def open_paths(self, indices) -> list:
+        """Sibling digests per level for every query index: list (per
+        level, leaf-first, cap excluded) of (Q, 4) uint64 arrays — the
+        same layout `open_positions` returns for device trees."""
+        cur = np.asarray(indices, dtype=np.int64)
+        sibs = []
+        for layer in self.layers[:-1]:
+            sibs.append(layer[cur ^ 1])
+            cur = cur >> 1
+        return sibs
+
+
+def spill_codeword(c) -> tuple:
+    """FRI codeword (c0l, c0h, c1l, c1h) device arrays -> canonical host
+    (c0_u64, c1_u64) numpy arrays."""
+    key = ("spillcw", env_key())
+
+    def build():
+        def fn(c):
+            a = gl.canonicalize(c[0], c[1])
+            b = gl.canonicalize(c[2], c[3])
+            return a[0], a[1], b[0], b[1]
+
+        return jax.jit(fn)
+
+    c0l, c0h, c1l, c1h = (np.asarray(jax.device_get(x), dtype=np.uint64)
+                          for x in cached_jit(key, build)(c))
+    return (c0l | (c0h << np.uint64(32)), c1l | (c1h << np.uint64(32)))
+
+
+def open_positions_host(indices, trees, fri_layers):
+    """Host-side twin of `open_positions` for fully-spilled proofs:
+    `trees` are HostTrees; `fri_layers` are ((c0_u64, c1_u64), HostTree)
+    per fold layer.  Returns (group_paths, fri_pairs, fri_paths) in the
+    exact formats the device bulk gather produces (leaves are recomputed
+    per queried coset by the streamed prover, so no leaf groups here)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    group_paths = [t.open_paths(idx) for t in trees]
+    fri_pairs = []
+    fri_paths = []
+    cur = idx
+    for ((c0, c1), tree) in fri_layers:
+        h = c0.shape[0] // 2
+        i = cur % h
+        fri_pairs.append((c0[i], c1[i], c0[i + h], c1[i + h]))
+        fri_paths.append(tree.open_paths(i))
+        cur = i
+    return group_paths, fri_pairs, fri_paths
 
 
 # ---------------------------------------------------------------------------
