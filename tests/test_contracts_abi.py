@@ -105,13 +105,18 @@ def test_event_topics_are_canonical():
 
 
 def test_sources_are_structurally_sound():
-    for path in (SRC, IFACE, "contracts/script/Deploy.s.sol",
-                 "contracts/src/upgrades/TimelockedUpgradeable.sol",
-                 "contracts/src/upgrades/ERC1967Proxy.sol",
-                 "contracts/src/upgrades/Timelock.sol"):
-        src = _strip(open(path).read())
-        assert src.count("{") == src.count("}"), f"unbalanced braces: {path}"
-        assert "pragma solidity" in src, f"missing pragma: {path}"
+    """Run the full hermetic gate (scripts/solcheck.py): lexer-level
+    balance, pragma consistency, import resolution, interface
+    implementation, and ABI-artifact signature cross-checks.  The real
+    compile gate is the pinned-foundry CI job; this is the strongest
+    check available without a Solidity toolchain
+    (evidence/contracts_env_probe.json)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "scripts/solcheck.py"],
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stdout + r.stderr
 
 
 def test_upgrade_surface_matches_reference():
