@@ -13,6 +13,7 @@ prove/verify seconds + tamper rejections.
 
 Usage:  python evidence/drive_succinct_flagships.py [header_range|rotate|all]
             [--tree N] [--header-bytes B] [--queries N] [--pow N]
+            [--authorities N] [--uniform-headers]
 Writes  evidence/succinct_flagships.json (section-checkpointed).
 """
 
@@ -41,12 +42,27 @@ from vectorx_tpu.io.abi import HeaderRangeInput, RotateInput  # noqa: E402
 from vectorx_tpu.io.fixtures import FixtureChain     # noqa: E402
 from vectorx_tpu.stark.prover import StarkConfig     # noqa: E402
 
-def _mk_chain(tree: int, header_bytes: int):
-    """A fixture chain whose era 1 covers (trusted, trusted + tree]."""
+def _mk_chain(tree: int, header_bytes: int, n_auth: int = 4,
+              mixed: bool = True):
+    """A fixture chain whose era 1 covers (trusted, trusted + tree].
+
+    Round-4 verdict (weak #7): flagship fixtures were degenerate —
+    1 authority/era, uniform header sizes.  Defaults now follow the
+    reference's test realism (≥4 authorities, header_range.rs:101-277;
+    mixed sizes up to the --header-bytes bound, consts.rs:9-16):
+    `mixed` cycles headers through 100%/10%/60%/25% of the bound."""
     epoch = 2 * tree
+    base = max(0, header_bytes - 180)
+    if mixed:
+        frac = (100, 10, 60, 25)
+
+        def ext(n, _base=base, _frac=frac):
+            return _base * _frac[n % len(_frac)] // 100
+    else:
+        ext = base
     return FixtureChain(seed=19, num_blocks=3 * tree + 2, epoch_length=epoch,
-                        authorities_per_era=lambda e: 1,
-                        extension_bytes=max(0, header_bytes - 180)), epoch
+                        authorities_per_era=lambda e: n_auth,
+                        extension_bytes=ext), epoch
 
 
 def _cfg(args):
@@ -71,11 +87,12 @@ def _peak_hbm_gb():
         return None
 
 
-def run_header_range(cfg, tree: int, header_bytes: int):
+def run_header_range(cfg, tree: int, header_bytes: int, n_auth: int,
+                     mixed: bool):
     from vectorx_tpu.circuits.succinct_header_range import (
         prove_header_range_succinct, verify_header_range_succinct)
 
-    chain, epoch = _mk_chain(tree, header_bytes)
+    chain, epoch = _mk_chain(tree, header_bytes, n_auth, mixed)
     trusted, target = epoch, epoch + tree
     inp = HeaderRangeInput(trusted, chain.get_block_hash(trusted), 1,
                            chained_hash(chain.era_pubkeys(1)), target)
@@ -100,6 +117,7 @@ def run_header_range(cfg, tree: int, header_bytes: int):
                      "proof; verifier sees ONLY (input_bytes, output_bytes, "
                      "proof)",
         "tree_size": tree,
+        "authorities": n_auth, "mixed_header_sizes": mixed,
         "header_bytes_min": min(hdr_lens), "header_bytes_max": max(hdr_lens),
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
@@ -109,24 +127,26 @@ def run_header_range(cfg, tree: int, header_bytes: int):
     }
 
 
-def run_rotate(cfg, header_bytes: int):
+def run_rotate(cfg, header_bytes: int, n_auth: int):
     from vectorx_tpu.circuits.succinct_rotate import (
         prove_rotate_succinct, verify_rotate_succinct)
 
+    max_auth = max(8, n_auth)
     chain = FixtureChain(seed=19, num_blocks=12, epoch_length=6,
-                         authorities_per_era=lambda e: 1,
+                         authorities_per_era=lambda e: n_auth,
                          extension_bytes=max(0, header_bytes - 180))
     epoch_end = len(chain.get_encoded_header(12))
     inp = RotateInput(1, chained_hash(chain.era_pubkeys(1)))
     t0 = time.time()
-    proof = prove_rotate_succinct(chain, inp.encode(), max_authorities=8,
-                                  config=cfg)
+    proof = prove_rotate_succinct(chain, inp.encode(),
+                                  max_authorities=max_auth, config=cfg)
     t1 = time.time()
-    ok = verify_rotate_succinct(proof, max_authorities=8, config=cfg)
+    ok = verify_rotate_succinct(proof, max_authorities=max_auth, config=cfg)
     t2 = time.time()
     assert ok
     bad = dataclasses.replace(proof, output_bytes=b"\x11" * 32)
-    rej = not verify_rotate_succinct(bad, max_authorities=8, config=cfg)
+    rej = not verify_rotate_succinct(bad, max_authorities=max_auth,
+                                     config=cfg)
     t3 = time.time()
     return {
         "statement": "rotate: hidden epoch-end header "
@@ -135,6 +155,7 @@ def run_rotate(cfg, header_bytes: int):
                      "machine proof; verifier sees ONLY (set_id, set_hash) "
                      "-> new_set_hash",
         "epoch_end_header_bytes": epoch_end,
+        "authorities": n_auth,
         "machine_rows": _machine_rows(),
         "prove_s": round(t1 - t0, 1), "verify_s": round(t2 - t1, 1),
         "tamper_check_s": round(t3 - t2, 1),
@@ -156,6 +177,9 @@ def main():
     tree = int(args[args.index("--tree") + 1]) if "--tree" in args else 16
     hb = (int(args[args.index("--header-bytes") + 1])
           if "--header-bytes" in args else 2048)
+    n_auth = (int(args[args.index("--authorities") + 1])
+              if "--authorities" in args else 4)
+    mixed = "--uniform-headers" not in args
     cfg, q, pw = _cfg(args)
 
     # record actual machine-trace rows via a prove hook
@@ -198,9 +222,9 @@ def main():
         t0 = time.time()
         try:
             if name == "header_range":
-                rec = run_header_range(cfg, tree, hb)
+                rec = run_header_range(cfg, tree, hb, n_auth, mixed)
             else:
-                rec = run_rotate(cfg, hb)
+                rec = run_rotate(cfg, hb, n_auth)
         except Exception as e:  # noqa: BLE001 — record failures honestly
             rec = {"error": f"{type(e).__name__}: {e}",
                    "elapsed_s": round(time.time() - t0, 1),

@@ -68,10 +68,13 @@ class FixtureChain:
 
     def __init__(self, seed: int = 0, num_blocks: int = 64,
                  epoch_length: int = 20, authorities_per_era=None,
-                 sign_fraction: float = 0.8, extension_bytes: int = 0):
+                 sign_fraction: float = 0.8, extension_bytes=0):
         """`extension_bytes`: extra per-header extension filler, for
         realistic-size headers (Avail mainnet headers run KBs; the
-        reference bounds them at 35,840 B, consts.rs:9-16)."""
+        reference bounds them at 35,840 B, consts.rs:9-16).  An int pads
+        every header uniformly; a callable `block_number -> int` yields
+        MIXED header sizes (real chains interleave near-empty and
+        data-heavy blocks)."""
         self.seed = seed
         self.num_blocks = num_blocks
         self.epoch_length = epoch_length
@@ -113,7 +116,9 @@ class FixtureChain:
                 logs.append(scale.encode_other_log(self._rand("other", n)[:8]))
                 logs.append(
                     scale.encode_scheduled_change_log(self.era_pubkeys(era)))
-            filler_len = self.extension_bytes + 40 + (n * 7) % 64
+            ext = (self.extension_bytes(n) if callable(self.extension_bytes)
+                   else self.extension_bytes)
+            filler_len = ext + 40 + (n * 7) % 64
             hdr = scale.Header(
                 parent_hash=parent,
                 block_number=n,
