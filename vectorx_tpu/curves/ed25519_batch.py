@@ -496,14 +496,21 @@ def _no_persistent_cache():
     The in-memory jit cache still applies; only the disk layer is skipped."""
     try:
         old = jax.config.jax_enable_compilation_cache
+        old_dir = jax.config.jax_compilation_cache_dir
     except AttributeError:        # flag absent in this jax version
         yield
         return
+    # belt and braces: the enable flag alone has not prevented the
+    # serializer from being entered on every jax version (a full-suite
+    # run segfaulted through this guard in round 5) — clear the cache
+    # DIRECTORY too so the disk layer cannot engage at all
     jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_compilation_cache_dir", None)
     try:
         yield
     finally:
         jax.config.update("jax_enable_compilation_cache", old)
+        jax.config.update("jax_compilation_cache_dir", old_dir)
 
 
 @jax.jit
