@@ -219,6 +219,11 @@ def transform(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((g, R, C), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    # the unrolled butterfly ladder keeps ~12 block-sized temporaries live
+    # per stage, which blows Mosaic's default 16 MB *scoped* vmem budget
+    # on real silicon (seen: 27.6 MB wanted at g·n = 2^19 — BENCH r5 run).
+    # v5e has 128 MB physical VMEM per core: raise the scoped budget to
+    # 96 MB and let the pipeline use it instead of shrinking the block.
     ol, oh = pl.pallas_call(
         functools.partial(_kernel, g, R, C),
         grid=(bp // g,),
@@ -228,6 +233,8 @@ def transform(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
         out_specs=[blk, blk],
         out_shape=[jax.ShapeDtypeStruct((bp, R, C), jnp.uint32)] * 2,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(xl, xh, jnp.asarray(til), jnp.asarray(tih), jnp.asarray(w1l),
       jnp.asarray(w1h), jnp.asarray(tol), jnp.asarray(toh))
 
