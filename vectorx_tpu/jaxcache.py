@@ -50,8 +50,21 @@ def enable_persistent_cache(root: str | None = None) -> str | None:
         return None
     import jax
 
-    root = root or os.path.join(_REPO_ROOT, ".jax_cache")
+    root = root or os.environ.get("VECTORX_JAX_CACHE_ROOT") \
+        or os.path.join(_REPO_ROOT, ".jax_cache")
     d = os.path.join(root, host_key())
+    # Every evidence driver / bench funnels through here before its first
+    # device op.  When the environment pins JAX_PLATFORMS to the remote
+    # TPU plugin alone, also register the in-process CPU backend: the
+    # host verifier batches Merkle-path hashing through an XLA:CPU-jitted
+    # permutation (hash/poseidon_np.py), which would otherwise fall back
+    # to the ~300x slower numpy engine.  Priority order keeps the TPU as
+    # the default platform; this only ADDS cpu as an addressable backend.
+    # (After host_key(): the added platform must not shift the cache
+    # namespace — entries are platform-keyed inside the cache anyway.)
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        os.environ["JAX_PLATFORMS"] = plats + ",cpu"
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

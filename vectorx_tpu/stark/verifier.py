@@ -138,29 +138,34 @@ def verify(air: Air, proof: StarkProof,
         return False
     w8 = _root_of_unity(log_N, inverse=False)
     w_zeta = ext_py.mul(zeta, ext_py.from_base(w))
+    # ---- Merkle openings, batched per tree across all queries ------------
+    for t_open in proof.trace_openings:
+        if len(t_open.leaf) != W:
+            return False
+    for q_open in proof.quotient_openings:
+        if len(q_open.leaf) != 2 * chunks:
+            return False
+    groups = [(proof.trace_openings, proof.trace_cap),
+              (proof.quotient_openings, proof.quotient_cap)]
+    if K:
+        for c_open in proof.constants_openings:
+            if len(c_open.leaf) != K:
+                return False
+        groups.append((proof.constants_openings, const_cap))
+    if lookups or ports:
+        for a_open in proof.aux_openings:
+            if len(a_open.leaf) != A:
+                return False
+        groups.append((proof.aux_openings, proof.aux_cap))
+    if not merkle.verify_paths_multi(
+            [([o.leaf for o in opens], [o.path for o in opens], cap)
+             for opens, cap in groups], list(indices), num_leaves=N):
+        return False
     query_values = []
     for qi, (q, t_open, q_open) in enumerate(zip(
             indices, proof.trace_openings, proof.quotient_openings)):
-        if len(t_open.leaf) != W or len(q_open.leaf) != 2 * chunks:
-            return False
-        if not merkle.verify_path(t_open.leaf, q, t_open.path,
-                                  proof.trace_cap, num_leaves=N):
-            return False
-        if not merkle.verify_path(q_open.leaf, q, q_open.path,
-                                  proof.quotient_cap, num_leaves=N):
-            return False
-        c_open = None
-        if K:
-            c_open = proof.constants_openings[qi]
-            if len(c_open.leaf) != K or not merkle.verify_path(
-                    c_open.leaf, q, c_open.path, const_cap, num_leaves=N):
-                return False
-        a_open = None
-        if lookups or ports:
-            a_open = proof.aux_openings[qi]
-            if len(a_open.leaf) != A or not merkle.verify_path(
-                    a_open.leaf, q, a_open.path, proof.aux_cap, num_leaves=N):
-                return False
+        c_open = proof.constants_openings[qi] if K else None
+        a_open = proof.aux_openings[qi] if (lookups or ports) else None
         x_q = (gl.GENERATOR * pow(w8, q, P)) % P
         inv_xz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), zeta))
         inv_xwz = ext_py.inv(ext_py.sub(ext_py.from_base(x_q), w_zeta))
