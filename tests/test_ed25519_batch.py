@@ -57,6 +57,7 @@ def test_point_add_matches_host():
     assert (oy * ez - ey * oz) % Q == 0
 
 
+@pytest.mark.slow
 def test_scalar_mult_batched_matches_host():
     scalars = [1, 2, 7, 0xDEADBEEF, host.L - 1]
     pts = [host.scalar_mult(k + 1, host.B_POINT) for k in range(len(scalars))]
@@ -93,6 +94,7 @@ def test_batch_verify_rejects_forgery():
     assert not dev.batch_verify(pks, msgs, sigs)
 
 
+@pytest.mark.slow
 def test_batch_verify_conditional_mask():
     pks, msgs, sigs = _make_sigs(6)
     sigs[2] = b"\x00" * 64  # garbage, but masked out
@@ -102,6 +104,7 @@ def test_batch_verify_conditional_mask():
     assert not dev.batch_verify(pks, msgs, sigs, signed_mask=mask)
 
 
+@pytest.mark.slow
 def test_justification_device_backend():
     from vectorx_tpu.circuits.justification import (JustificationError,
                                                     verify_simple_justification)
@@ -124,6 +127,7 @@ def test_justification_device_backend():
                                     signature_backend="device")
 
 
+@pytest.mark.slow
 def test_msm_matches_host_oracle():
     """Pippenger MSM == host Σ[s_i]P_i (small window keeps the CPU-test
     compile cheap; the window size only re-buckets, never changes math)."""
