@@ -41,6 +41,15 @@ from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
+# early device op: a tunnel-claim hang shows up immediately in the log
+import time as _t
+_t0 = _t.time()
+import jax as _jax  # noqa: E402
+import jax.numpy as _jnp  # noqa: E402
+float(_jnp.arange(4.0).sum())
+print(f"backend ready in {_t.time() - _t0:.1f}s: {_jax.devices()[0]}",
+      flush=True)
+
 from vectorx_tpu.fri.fri import FriConfig          # noqa: E402
 from vectorx_tpu.stark.prover import StarkConfig   # noqa: E402
 

@@ -36,6 +36,19 @@ from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
+# Force backend init NOW and log it: the remote-TPU tunnel's failure mode
+# is a silent hang at claim time (a round-5 flagship run sat 40 min in
+# wait_woken with zero progress).  An explicit early device op makes the
+# hang visible in the log within seconds of launch instead of being
+# indistinguishable from a long compile.
+_t0 = time.time()
+import jax.numpy as _jnp  # noqa: E402
+
+float(_jnp.arange(4.0).sum())
+logging.getLogger("drive").info("backend ready in %.1fs: %s",
+                                time.time() - _t0,
+                                jax.devices()[0])
+
 from vectorx_tpu.fri.fri import FriConfig            # noqa: E402
 from vectorx_tpu.hash.sha256 import chained_hash     # noqa: E402
 from vectorx_tpu.io.abi import HeaderRangeInput, RotateInput  # noqa: E402

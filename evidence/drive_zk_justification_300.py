@@ -34,6 +34,15 @@ from vectorx_tpu.jaxcache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 
+# early device op: a tunnel-claim hang shows up in the log immediately
+# (see drive_succinct_flagships.py)
+_t0 = time.time()
+import jax.numpy as _jnp  # noqa: E402
+
+float(_jnp.arange(4.0).sum())
+print(f"backend ready in {time.time() - _t0:.1f}s: {jax.devices()[0]}",
+      flush=True)
+
 from vectorx_tpu.fri.fri import FriConfig            # noqa: E402
 from vectorx_tpu.hash.sha256 import chained_hash     # noqa: E402
 from vectorx_tpu.io.fixtures import FixtureChain     # noqa: E402
