@@ -571,6 +571,17 @@ class MachineAir(Air):
     def constant_columns(self):
         if self._consts is not None:
             return self._consts
+        # The row loop below is host Python over every program row — tens
+        # of seconds at flagship scale (2^21 rows).  The columns are a
+        # pure function of the program, and verifiers build a fresh
+        # MachineAir per verification around the progcache-shared Program
+        # (recursion/progcache.py), so memoize on the Program object:
+        # repeat verifications (gateway steady state, tamper checks) skip
+        # the rebuild entirely.
+        cached = getattr(self.program, "_consts_cache", None)
+        if cached is not None:
+            self._consts = cached
+            return cached
         n = self.n
         cols = np.zeros((N_CONSTS, n), dtype=np.uint64)
         r = 0
@@ -627,6 +638,7 @@ class MachineAir(Air):
                     cols[SEL_COPY, base + 8] = 1
                 r += SLOT_ROWS
         assert r == self.program.n_rows
+        self.program._consts_cache = cols
         self._consts = cols
         return cols
 

@@ -104,6 +104,11 @@ def put(key: str, prog: Program, meta=None) -> None:
     """Store a STATEMENT-mode program (strip witness first if needed)."""
     if prog.witness:
         prog = strip_witness(prog)
+    else:
+        # shallow dataclass copy: drops ad-hoc attributes (notably the
+        # multi-hundred-MB MachineAir._consts_cache memo) so neither the
+        # pickle nor the shared in-memory entry carries them on write
+        prog = replace(prog)
     entry = (prog, meta)
     with _LOCK:
         _MEM[key] = entry
