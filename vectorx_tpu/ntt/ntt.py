@@ -114,19 +114,32 @@ def _dev_powers(base: int, count: int):
     return lo[:count], hi[:count]
 
 
+# Default-on size floor, set from the on-silicon validation sweep
+# (evidence/pallas_ntt.json, TPU v5e, bit-exact + inverse round-trip at
+# every size): measured speedup vs the stage-by-stage XLA path is
+# 1.03x @ 2^12, 0.72x @ 2^14, 1.61x @ 2^16, 1.70x @ 2^18, 10.64x @ 2^20
+# (four-stepped) — XLA's fused small stages win below 2^16, the
+# kernel's ~3-HBM-pass economics win at and above it.
+PALLAS_MIN_LOG_N = 16
+
+
 def _use_pallas(log_n: int) -> bool:
-    """Route VMEM-resident sizes through the single-pass Pallas kernel on
-    real TPU (ntt/pallas_ntt.py: ~3 HBM passes instead of ~2·log_n).
-    VECTORX_PALLAS_NTT=0 forces the stage-by-stage XLA path everywhere."""
+    """Route supported sizes through the Pallas kernel on real TPU
+    (ntt/pallas_ntt.py: ~3 HBM passes instead of ~2·log_n).
+
+    Default: ON for log_n ≥ PALLAS_MIN_LOG_N where the measured on-chip
+    speedup justifies it (see above).  VECTORX_PALLAS_NTT=0 forces the
+    XLA path everywhere; =1 forces Pallas for every supported size."""
     import os
 
-    # opt-in ("1") until the kernel is validated on the real chip; the
-    # interpret-mode tests pin bit-exactness, not Mosaic lowering
-    if os.environ.get("VECTORX_PALLAS_NTT", "0") != "1":
+    mode = os.environ.get("VECTORX_PALLAS_NTT", "auto")
+    if mode == "0":
         return False
     from vectorx_tpu.ntt import pallas_ntt
 
     if not pallas_ntt.supported(log_n):
+        return False
+    if mode != "1" and log_n < PALLAS_MIN_LOG_N:
         return False
     try:
         return jax.devices()[0].platform == "tpu"

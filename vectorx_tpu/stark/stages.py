@@ -71,10 +71,14 @@ def clear_caches() -> None:
 def env_key() -> tuple:
     """Graph-shaping globals that must participate in every stage key:
     the chunking knobs change the traced graph (tests shrink them to
-    exercise the chunked paths) and the Poseidon parameter table changes
-    the baked MDS/round constants."""
+    exercise the chunked paths), the Poseidon parameter table changes
+    the baked MDS/round constants, and the Pallas-NTT gate swaps the
+    transform implementation traced into every stage."""
+    import os
+
     return (LDE_CHUNK_ELEMS, merkle.POSEIDON_CHUNK_ROWS,
-            poseidon.params_epoch())
+            poseidon.params_epoch(),
+            os.environ.get("VECTORX_PALLAS_NTT", "auto"))
 
 
 def cached_jit(key: tuple, build):
