@@ -88,20 +88,26 @@ def _run_body(out_path: str, platform: str, deadline_s: float = 1e18) -> None:
     extras = {"platform": platform}
 
     # --- NTT throughput (north-star metric #1) -----------------------------
+    # The XLA-pinned path times FIRST: it is warm in every cache and its
+    # number lands in the durable record before the Pallas section, whose
+    # Mosaic compiles can be slow on a cold remote-compile server (the
+    # round-5 warm run burned its whole TPU budget there and recorded
+    # nothing).  The gated/Pallas number upgrades the headline afterwards.
     big = platform == "tpu"
     B, log_n = (64, 16) if big else (8, 14)
     n = 1 << log_n
     poly = rng.integers(0, gl.P, size=(B, n), dtype=np.uint64)
     pl_, ph_ = gl.from_u64(poly)
+    from vectorx_tpu.ntt.ntt import _transform_xla, _use_pallas
 
-    def ntt_reps(lo, hi, k):
+    def xla_reps(lo, hi, k):
         for _ in range(k):
-            lo, hi = ntt(lo, hi)
+            lo, hi = _transform_xla(lo, hi, log_n, False)
         return jnp.sum(lo, dtype=jnp.uint32)
 
     K = 5
-    f1 = jax.jit(lambda a, b: ntt_reps(a, b, 1))
-    fK = jax.jit(lambda a, b: ntt_reps(a, b, K))
+    f1 = jax.jit(lambda a, b: xla_reps(a, b, 1))
+    fK = jax.jit(lambda a, b: xla_reps(a, b, K))
     t1, _ = _timed(f1, pl_, ph_)
     tK, _ = _timed(fK, pl_, ph_)
     ntt_ms = (tK - t1) / (K - 1) * 1e3
@@ -109,53 +115,8 @@ def _run_body(out_path: str, platform: str, deadline_s: float = 1e18) -> None:
     extras["ntt_batch"] = B
     extras["ntt_log_n"] = log_n
     extras["ntt_ms"] = round(ntt_ms, 3)
+    extras["ntt_impl"] = "xla"
     extras["dispatch_overhead_ms"] = round(t1 * 1e3 - ntt_ms, 1)
-
-    # Pallas single-pass NTT (ntt/pallas_ntt.py), same marginal-cost
-    # timing + a bit-exactness check against the XLA path.  TPU-only:
-    # Mosaic lowering has no CPU backend.  Full sweep: drive_pallas_ntt.py.
-    if big:
-        try:
-            from vectorx_tpu.ntt import pallas_ntt
-
-            def pal_reps(lo, hi, k):
-                for _ in range(k):
-                    lo, hi = pallas_ntt.transform_any(lo, hi, log_n, False)
-                return jnp.sum(lo, dtype=jnp.uint32)
-
-            # reference pinned to the NON-dispatching XLA entry point: if
-            # the shell exports VECTORX_PALLAS_NTT=1, ntt() would dispatch
-            # to Pallas and this would silently become Pallas-vs-Pallas
-            # (round-4 ADVICE, low)
-            from vectorx_tpu.ntt.ntt import _transform_xla
-
-            g1 = jax.jit(lambda a, b: pal_reps(a, b, 1))
-            gK = jax.jit(lambda a, b: pal_reps(a, b, K))
-            pal_l, pal_h = pallas_ntt.transform_any(pl_, ph_, log_n, False)
-            ref_l, ref_h = _transform_xla(pl_, ph_, log_n, False)
-            exact = (bool(jnp.array_equal(pal_l, ref_l))
-                     and bool(jnp.array_equal(pal_h, ref_h)))
-            def xla_reps(lo, hi, k):
-                for _ in range(k):
-                    lo, hi = _transform_xla(lo, hi, log_n, False)
-                return jnp.sum(lo, dtype=jnp.uint32)
-
-            x1 = jax.jit(lambda a, b: xla_reps(a, b, 1))
-            xK = jax.jit(lambda a, b: xla_reps(a, b, K))
-            t1p, _ = _timed(g1, pl_, ph_)
-            tKp, _ = _timed(gK, pl_, ph_)
-            t1x, _ = _timed(x1, pl_, ph_)
-            tKx, _ = _timed(xK, pl_, ph_)
-            pal_ms = (tKp - t1p) / (K - 1) * 1e3
-            xla_ms = (tKx - t1x) / (K - 1) * 1e3
-            extras["ntt_pallas_ms"] = round(pal_ms, 3)
-            extras["ntt_xla_pinned_ms"] = round(xla_ms, 3)
-            extras["ntt_pallas_gelem_s"] = round(
-                B * n / (pal_ms / 1e3) / 1e9, 4)
-            extras["ntt_pallas_bit_exact"] = exact
-            extras["ntt_pallas_speedup_vs_xla"] = round(xla_ms / pal_ms, 2)
-        except Exception as e:  # noqa: BLE001 — kernel path is best-effort
-            extras["ntt_pallas_error"] = f"{type(e).__name__}: {e}"
 
     # --- Poseidon permutation throughput -----------------------------------
     H = 1 << (16 if big else 13)
@@ -196,7 +157,40 @@ def _run_body(out_path: str, platform: str, deadline_s: float = 1e18) -> None:
             }, f)
         os.replace(out_path + ".tmp", out_path)
 
-    _write()   # base record is durable before the slow AIR section
+    _write()   # base record is durable before the slow sections
+
+    # --- gated NTT path (the SHIPPED config: Pallas default-on at
+    # log_n >= PALLAS_MIN_LOG_N, evidence/pallas_ntt.json).  If it wins,
+    # it becomes the headline value; a compile timeout here cannot cost
+    # the base record. ---------------------------------------------------
+    if big and _use_pallas(log_n) and _left() > 180:
+        try:
+            def gated_reps(lo, hi, k):
+                for _ in range(k):
+                    lo, hi = ntt(lo, hi)
+                return jnp.sum(lo, dtype=jnp.uint32)
+
+            g1 = jax.jit(lambda a, b: gated_reps(a, b, 1))
+            gK = jax.jit(lambda a, b: gated_reps(a, b, K))
+            ref_l, ref_h = _transform_xla(pl_, ph_, log_n, False)
+            out_l, out_h = ntt(pl_, ph_)
+            exact = (bool(jnp.array_equal(out_l, ref_l))
+                     and bool(jnp.array_equal(out_h, ref_h)))
+            t1p, _ = _timed(g1, pl_, ph_)
+            tKp, _ = _timed(gK, pl_, ph_)
+            pal_ms = (tKp - t1p) / (K - 1) * 1e3
+            pal_gelems = B * n / (pal_ms / 1e3) / 1e9
+            extras["ntt_pallas_ms"] = round(pal_ms, 3)
+            extras["ntt_pallas_gelem_s"] = round(pal_gelems, 4)
+            extras["ntt_pallas_bit_exact"] = exact
+            extras["ntt_pallas_speedup_vs_xla"] = round(ntt_ms / pal_ms, 2)
+            if exact and pal_gelems > ntt_gelems:
+                ntt_gelems = pal_gelems
+                extras["ntt_ms"] = round(pal_ms, 3)
+                extras["ntt_impl"] = "pallas (default dispatch)"
+        except Exception as e:  # noqa: BLE001 — kernel path is best-effort
+            extras["ntt_pallas_error"] = f"{type(e).__name__}: {e}"
+        _write()
 
     # --- STARK AIR prove throughput at PRODUCTION FRI security ------------
     # (round-4: the staged device-resident prover; round-3 numbers to beat:
