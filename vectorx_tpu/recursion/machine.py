@@ -568,6 +568,20 @@ class MachineAir(Air):
                         addr_col=ADDR0 + p, mult_col=MULT0 + p)
                 for p in range(N_PORTS)]
 
+    def num_constants(self) -> int:
+        # fixed machine layout: the verifier learns K without the O(n)
+        # host build of the columns themselves (stark/verifier.py)
+        return N_CONSTS
+
+    def vk_token(self):
+        """VK-cache token (stark/vk.py): the program's content-address key
+        from recursion/progcache.py, when it has one.  The key hashes the
+        statement + FRI config the program was derived from, and the
+        constant columns are a pure function of the program (n_rows pins
+        log_n), so the token uniquely determines the columns."""
+        k = getattr(self.program, "_stmt_key", None)
+        return None if k is None else ("mprog", k, self.log_n)
+
     def constant_columns(self):
         if self._consts is not None:
             return self._consts

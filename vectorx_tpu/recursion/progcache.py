@@ -81,10 +81,14 @@ def strip_witness(prog: Program) -> Program:
 
 
 def get(key: str):
-    """Cached (program, meta) for `key`, or None."""
+    """Cached (program, meta) for `key`, or None.  The returned program
+    carries `_stmt_key = key` — its own content address — which
+    stark/vk.py uses as a VK-cache token (MachineAir.vk_token) so warm
+    verifies never rebuild or rehash the constant columns."""
     with _LOCK:
         hit = _MEM.get(key)
     if hit is not None:
+        hit[0]._stmt_key = key
         return hit
     d = _disk_dir()
     if d:
@@ -94,6 +98,7 @@ def get(key: str):
                 hit = pickle.load(f)
             with _LOCK:
                 _MEM[key] = hit
+            hit[0]._stmt_key = key
             return hit
         except (OSError, pickle.PickleError, EOFError, AttributeError):
             pass
@@ -102,6 +107,10 @@ def get(key: str):
 
 def put(key: str, prog: Program, meta=None) -> None:
     """Store a STATEMENT-mode program (strip witness first if needed)."""
+    # the caller's (possibly witness-mode) program gets the same token:
+    # constant columns are witness-independent (module docstring), so the
+    # prove-side MachineAir seeds/hits the same VK-cache entry
+    prog._stmt_key = key
     if prog.witness:
         prog = strip_witness(prog)
     else:
@@ -109,6 +118,7 @@ def put(key: str, prog: Program, meta=None) -> None:
         # multi-hundred-MB MachineAir._consts_cache memo) so neither the
         # pickle nor the shared in-memory entry carries them on write
         prog = replace(prog)
+    prog._stmt_key = key
     entry = (prog, meta)
     with _LOCK:
         _MEM[key] = entry

@@ -212,7 +212,7 @@ def verifier_tape(b: Builder, air, config, proof=None, public_offset=0,
     N = n * blowup
     log_N = air.log_n + config.rate_bits
     public = air.public_inputs()
-    K = air.constant_columns().shape[0]
+    K = air.num_constants()
     lookups = air.lookups()
     ports = air.bus_ports()
     _, _, A = bus_aux_layout(air)

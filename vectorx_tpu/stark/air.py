@@ -150,6 +150,12 @@ class Air:
 
         return np.zeros((0, self.n), dtype=np.uint64)
 
+    def num_constants(self) -> int:
+        """K without necessarily materializing the columns — AIRs with an
+        expensive O(n) host build (MachineAir) override this so a warm-VK
+        verify (stark/vk.py token path) never touches them."""
+        return self.constant_columns().shape[0]
+
     def transition(self, alg, local: list, nxt: list, public: list[int],
                    consts: list | None = None):
         """Constraint values that must vanish on every row but the last.

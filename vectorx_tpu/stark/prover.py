@@ -103,7 +103,7 @@ STREAM_THRESHOLD_ELEMS = 1 << 28
 
 def _commit_cols(air: Air) -> int:
     _, _, A = bus_aux_layout(air)
-    return (air.width + A + air.constant_columns().shape[0]
+    return (air.width + A + air.num_constants()
             + 2 * _num_quotient_chunks(air))
 
 

@@ -35,7 +35,7 @@ def verify(air: Air, proof: StarkProof,
     N = n * blowup
     log_N = air.log_n + config.rate_bits
     public = air.public_inputs()
-    K = air.constant_columns().shape[0]
+    K = air.num_constants()
 
     challenger = Challenger()
     challenger.observe_many(public)

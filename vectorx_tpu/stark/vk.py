@@ -56,15 +56,15 @@ def cache_key(consts, config) -> str:
     return h.hexdigest()
 
 
-def constants_cap(air, config) -> list | None:
-    """The AIR's verification key: cap of the preprocessed-columns
-    commitment, derived once per (constant columns, commitment params) and
-    memoized in memory + on disk.  Returns None when the AIR has no
-    constant columns."""
-    consts = air.constant_columns()
-    if consts.shape[0] == 0:
-        return None
-    key = cache_key(consts, config)
+def token_key(tok, config) -> str:
+    """Key for an AIR-provided derivation token (see `constants_cap`)."""
+    h = hashlib.sha256()
+    h.update(f"tok:{tok!r}:{config.fri.rate_bits}:"
+             f"{config.fri.cap_height}".encode())
+    return h.hexdigest()
+
+
+def _lookup(key: str):
     with _LOCK:
         cap = _MEM.get(key)
     if cap is not None:
@@ -80,20 +80,60 @@ def constants_cap(air, config) -> list | None:
             return cap
         except (OSError, ValueError):
             pass
-    from vectorx_tpu.stark.prover import preprocess
+    return None
 
-    tree = preprocess(air, config)[0]
-    cap = tree.cap_ints()
+
+def _store(key: str, cap) -> None:
     with _LOCK:
         _MEM[key] = cap
-    if path:
-        try:
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(cap, f)
-            os.replace(tmp, path)
-        except OSError:
-            pass
+    d = _disk_dir()
+    if not d:
+        return
+    path = os.path.join(d, key + ".json")
+    try:
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cap, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def constants_cap(air, config) -> list | None:
+    """The AIR's verification key: cap of the preprocessed-columns
+    commitment, derived once per (constant columns, commitment params) and
+    memoized in memory + on disk.  Returns None when the AIR has no
+    constant columns.
+
+    Fast path: an AIR may expose `vk_token()` returning a compact token
+    that uniquely determines its constant columns (e.g. MachineAir returns
+    the program's content-address key from recursion/progcache.py — itself
+    a hash of the verifier's own derivation inputs).  A token hit returns
+    the cap WITHOUT materializing the columns (a host row-walk + an
+    840 MB content hash at flagship scale), so a warm-VK verify never
+    touches them.  Soundness is unchanged: the token, like the content
+    key, is a pure function of the derivation inputs, so a hit returns
+    exactly what re-derivation would."""
+    tok = getattr(air, "vk_token", None)
+    tok = tok() if callable(tok) else None
+    tkey = token_key(tok, config) if tok is not None else None
+    if tkey is not None:
+        cap = _lookup(tkey)
+        if cap is not None:
+            return cap
+    consts = air.constant_columns()
+    if consts.shape[0] == 0:
+        return None
+    key = cache_key(consts, config)
+    cap = _lookup(key)
+    if cap is None:
+        from vectorx_tpu.stark.prover import preprocess
+
+        tree = preprocess(air, config)[0]
+        cap = tree.cap_ints()
+        _store(key, cap)
+    if tkey is not None:
+        _store(tkey, cap)
     return cap
 
 
